@@ -1,0 +1,30 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths compile
+and execute without TPU hardware (SURVEY.md §4: multi-host tests via
+xla_force_host_platform_device_count fakes).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may point at the TPU
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# sitecustomize pre-imports jax with JAX_PLATFORMS baked in, so the env var
+# alone is not enough — override via config too.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
