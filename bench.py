@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark: batched window solves per second on the available accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+The headline number is windows-solved/s for the full VILO sliding-window
+problem (11 frames, IMU+leg factors, stereo projection factors, 12 LM
+iterations with relinearization each) — the unit of work the reference's
+Ceres solver performs once per keyframe in <= 0.1 s on CPU
+(reference: config max_solver_time 0.1, estimator.cpp:1226-1233). The
+vs_baseline field is therefore windows/s relative to the reference's
+real-time budget rate of 10 solves/s.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    dtype = jnp.float32 if on_tpu else jnp.float64
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)
+
+    from cerberus_tpu.config import EstimatorConfig
+    from cerberus_tpu.data import SimConfig, simulate
+    from cerberus_tpu.data.window_builder import build_window_from_sim
+    from cerberus_tpu.ops.solver import SolveOptions, solve_window
+
+    cfg = EstimatorConfig(dtype=str(dtype.__name__))
+    sim = simulate(SimConfig(duration=10.0, speed=0.5, seed=3))
+    data, truth, Fa = build_window_from_sim(sim, cfg, dtype=dtype)
+
+    rng = np.random.default_rng(0)
+    B = int(os.environ.get("BENCH_BATCH", "32" if on_tpu else "2"))
+
+    def perturb(key_seed):
+        r = np.random.default_rng(key_seed)
+        return truth._replace(
+            p=truth.p + jnp.asarray(r.normal(size=(11, 3)) * 0.03, dtype),
+            v=truth.v + jnp.asarray(r.normal(size=(11, 3)) * 0.05, dtype),
+            ba=jnp.zeros_like(truth.ba), bg=jnp.zeros_like(truth.bg),
+        )
+
+    states = jax.tree.map(lambda *xs: jnp.stack(xs),
+                          *[perturb(i) for i in range(B)])
+    datas = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (B,) + x.shape),
+                         data)
+
+    opts = SolveOptions(max_iters=12)
+    solve = jax.jit(jax.vmap(lambda s, d: solve_window(s, d, opts)[0]))
+
+    out = solve(states, datas)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        out = solve(states, datas)
+        jax.block_until_ready(out)
+    dt = (time.time() - t0) / reps
+    wps = B / dt
+
+    result = {
+        "metric": "windows_solved_per_s",
+        "value": round(wps, 3),
+        "unit": "windows/s",
+        "vs_baseline": round(wps / 10.0, 3),
+        "batch": B,
+        "platform": jax.devices()[0].platform,
+        "dtype": str(dtype.__name__),
+        "p50_batch_latency_ms": round(dt * 1000, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

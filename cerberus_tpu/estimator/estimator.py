@@ -1,0 +1,477 @@
+"""Sliding-window VILO estimator: host orchestration over device kernels.
+
+Re-design of the reference's Estimator class
+(reference: src/estimator/estimator.{h,cpp}): the callback-driven, mutex-
+guarded C++ state machine becomes a thin host loop that (a) buffers sensor
+samples per inter-keyframe interval, (b) calls jitted device functions for
+preintegration and the window solve, and (c) performs the discrete
+keyframe / marginalize / slide decisions that cannot live under jit.
+
+Pipeline per camera frame (reference: processMeasurements + processImage,
+estimator.cpp:400-846):
+  1. drain the 500 Hz IMU+leg buffer into the newest interval, preintegrate
+     on device (one lax.scan)                         [processIMULeg]
+  2. feature bookkeeping + keyframe decision          [addFeatureCheckParallax]
+  3. INITIAL phase: dead-reckon pose, triangulate; at frame 10 run the
+     window solve with biases free (the solve replaces solveGyroscopeBias +
+     repropagate: one solver path instead of a special-cased initializer),
+     then re-preintegrate all intervals at the solved biases
+  4. NON_LINEAR: triangulate new features, pack WindowData, LM solve on
+     device, outlier rejection, marginalize (old / second-new), slide.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cerberus_tpu import config as C
+from cerberus_tpu.config import EstimatorConfig
+from cerberus_tpu.estimator.feature_manager import FeatureManager
+from cerberus_tpu.estimator.packing import default_free_mask, pack_window_data
+from cerberus_tpu.ops import factors as fac
+from cerberus_tpu.ops import marginalize as marg
+from cerberus_tpu.ops.preintegration import PreintParams, il_preintegrate
+from cerberus_tpu.ops.solver import SolveOptions, solve_window
+from cerberus_tpu.utils import lie
+
+NF = C.NUM_FRAMES
+MARGIN_OLD, MARGIN_SECOND_NEW = 0, 1
+
+
+@dataclass
+class IntervalBuffer:
+    """Raw 500 Hz samples of one inter-keyframe interval (incl. boundary
+    sample shared with the previous interval)."""
+    t: list = field(default_factory=list)
+    acc: list = field(default_factory=list)
+    gyr: list = field(default_factory=list)
+    phi: list = field(default_factory=list)
+    dphi: list = field(default_factory=list)
+    c: list = field(default_factory=list)
+
+    def append(self, t, acc, gyr, phi, dphi, c):
+        self.t.append(t)
+        self.acc.append(np.asarray(acc))
+        self.gyr.append(np.asarray(gyr))
+        self.phi.append(np.asarray(phi))
+        self.dphi.append(np.asarray(dphi))
+        self.c.append(np.asarray(c))
+
+    def __len__(self):
+        return len(self.t)
+
+
+class Estimator:
+    INITIAL, NON_LINEAR = 0, 1
+
+    def __init__(self, cfg: EstimatorConfig | None = None,
+                 max_samples: int = 256, dtype=jnp.float64):
+        self.cfg = cfg or EstimatorConfig()
+        self.dtype = dtype
+        self.S = max_samples
+        self.params = PreintParams.from_config(self.cfg, dtype)
+        self.F = self.cfg.max_features
+
+        self.fm = FeatureManager(self.F, self.cfg.min_parallax)
+        self.clear_state()
+
+        # jitted device kernels (shapes static per instance)
+        self._preint = jax.jit(
+            lambda dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho:
+            il_preintegrate(dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho,
+                            self.params))
+        self._solve = jax.jit(
+            lambda st, data: solve_window(
+                st, data, SolveOptions(max_iters=self.cfg.max_num_iterations)))
+        self._solve_init = jax.jit(
+            lambda st, data: solve_window(st, data, SolveOptions(max_iters=20)))
+        self._marg_old = jax.jit(marg.marginalize_old)
+        self._marg_new = jax.jit(marg.marginalize_second_new)
+        self._reproj_err = jax.jit(fac.feature_reproj_errors)
+
+    # ------------------------------------------------------------------
+    def clear_state(self):
+        """Full reboot (reference: clearState, estimator.cpp:24-110)."""
+        cfg = self.cfg
+        ric, tic = cfg.ric_tic()
+        self.p = np.zeros((NF, 3))
+        self.q = np.tile([1.0, 0, 0, 0], (NF, 1))
+        self.v = np.zeros((NF, 3))
+        self.ba = np.zeros((NF, 3))
+        self.bg = np.zeros((NF, 3))
+        self.rho = np.tile(cfg.robot.rho_init(), (NF, 1))
+        self.tic = tic.copy()
+        self.qic = np.stack([_rot_to_quat_np(ric[i]) for i in range(2)])
+        self.td = cfg.td
+        self.headers = np.zeros(NF)
+
+        self.frame_count = 0
+        self.solver_flag = self.INITIAL
+        self.first_imu = False
+        self.open_ex_estimation = False
+
+        self.buffers: list[IntervalBuffer | None] = [None] * 10
+        self.preints = [None] * 10
+        self.prior = None          # (J, r, lin_state)
+        self.pending = IntervalBuffer()
+        self.last_sample = None
+        self.fm = FeatureManager(self.F, self.cfg.min_parallax)
+
+        # IMU-rate fast prediction state (reference: fastPredictIMU)
+        self.latest = None
+        self.stats = {"solves": 0, "solve_time": 0.0, "keyframes": 0}
+
+    # ------------------------------------------------------------------
+    def input_imu_leg(self, t, acc, gyr, phi, dphi, contact):
+        """500 Hz proprioceptive tick (reference: inputIMU + inputLeg,
+        estimator.cpp:255-300)."""
+        self.pending.append(t, acc, gyr, phi, dphi, contact)
+        if self.latest is not None:
+            self._fast_predict(t, np.asarray(acc), np.asarray(gyr))
+
+    def _fast_predict(self, t, acc, gyr):
+        """IMU-rate forward propagation of the newest state
+        (reference: fastPredictIMU, estimator.cpp:1800-1840)."""
+        L = self.latest
+        dt = t - L["t"]
+        if dt <= 0:
+            return
+        g = np.array([0, 0, self.cfg.g_norm])
+        q = L["q"]
+        un_acc_0 = _rot_np(q, L["acc"] - L["ba"]) - g
+        un_gyr = 0.5 * (L["gyr"] + gyr) - L["bg"]
+        q = _quat_mul_np(q, _delta_q_np(un_gyr * dt))
+        un_acc_1 = _rot_np(q, acc - L["ba"]) - g
+        un_acc = 0.5 * (un_acc_0 + un_acc_1)
+        L["p"] = L["p"] + dt * L["v"] + 0.5 * dt * dt * un_acc
+        L["v"] = L["v"] + dt * un_acc
+        L["q"], L["t"], L["acc"], L["gyr"] = q, t, acc, gyr
+
+    # ------------------------------------------------------------------
+    def input_image(self, t, feats: dict):
+        """15 Hz camera tick. feats: {id: (pt0(3,), vel0(2,), pt1|None, vel1)}."""
+        fc = self.frame_count
+        # 1. interval measurements + preintegration + state propagation
+        if fc > 0:
+            k = fc - 1 if self.solver_flag == self.INITIAL else 9
+            self._close_interval(k, t)
+            self._propagate_frame(k)
+        else:
+            # consume the pending buffer up to t for gravity alignment
+            self._init_first_pose(t)
+        self.headers[min(fc, NF - 1)] = t
+
+        # 2. feature bookkeeping + keyframe decision
+        is_kf = self.fm.add_frame(min(fc, NF - 1), feats, 0.0)
+        margin_flag = MARGIN_OLD if is_kf else MARGIN_SECOND_NEW
+        if is_kf:
+            self.stats["keyframes"] += 1
+
+        ric, tic_, p_w, R_w = self._poses_np()
+        if self.solver_flag == self.INITIAL:
+            self.fm.triangulate(p_w, R_w, tic_, ric)
+            if fc == C.WINDOW_SIZE:
+                self._initialize()
+                self._post_solve(margin_flag)
+                self.solver_flag = self.NON_LINEAR
+            else:
+                self.frame_count += 1
+                # replicate newest state (reference: estimator.cpp:793-804)
+                for arr in (self.p, self.q, self.v, self.ba, self.bg, self.rho):
+                    arr[self.frame_count] = arr[self.frame_count - 1]
+        else:
+            self.fm.triangulate(p_w, R_w, tic_, ric)
+            t0 = time.time()
+            self._optimize()
+            self.stats["solve_time"] += time.time() - t0
+            self.stats["solves"] += 1
+            self._reject_outliers()
+            self._post_solve(margin_flag)
+            self.fm.remove_failures()
+        self._update_latest(t)
+
+    # ------------------------------------------------------------------
+    def _init_first_pose(self, t):
+        """Gravity-align the first frame (reference: initFirstIMUPose,
+        estimator.cpp:524-544)."""
+        if len(self.pending) == 0:
+            return
+        acc_mean = np.mean(np.stack(self.pending.acc), axis=0)
+        # g2R(acc): body->world rotation putting measured gravity on +z with
+        # zero yaw (reference: initFirstIMUPose, estimator.cpp:524-544)
+        R0 = np.asarray(lie.g_to_rot(jnp.asarray(acc_mean)))
+        self.q[0] = _rot_to_quat_np(R0)
+        # keep the boundary sample for interval 0
+        self.last_sample = self.pending
+        self.buffers[0] = None
+        keep = self.pending
+        self.pending = IntervalBuffer()
+        if len(keep):
+            self.pending.append(keep.t[-1], keep.acc[-1], keep.gyr[-1],
+                                keep.phi[-1], keep.dphi[-1], keep.c[-1])
+
+    def _close_interval(self, k: int, t_img):
+        """Move pending samples into interval k's buffer and preintegrate."""
+        buf = self.pending
+        self.pending = IntervalBuffer()
+        if len(buf):
+            # boundary sample for the next interval
+            self.pending.append(buf.t[-1], buf.acc[-1], buf.gyr[-1],
+                                buf.phi[-1], buf.dphi[-1], buf.c[-1])
+        self.buffers[k] = buf
+        self.preints[k] = self._run_preint(buf, self.ba[k], self.bg[k],
+                                           self.rho[k])
+
+    def _run_preint(self, buf: IntervalBuffer, ba, bg, rho):
+        n = len(buf)
+        if n < 2:
+            return None
+        n = min(n, self.S)
+        dt = np.zeros(self.S)
+        arr = {k: np.zeros((self.S,) + np.asarray(getattr(buf, k)[0]).shape)
+               for k in ("acc", "gyr", "phi", "dphi", "c")}
+        ts = np.asarray(buf.t[:n])
+        dt[1:n] = np.diff(ts)
+        for key in arr:
+            vals = getattr(buf, key)[:n]
+            arr[key][:n] = np.stack(vals)
+            arr[key][n:] = arr[key][n - 1]
+        mask = np.zeros(self.S, bool)
+        mask[1:n] = True
+        return self._preint(
+            jnp.asarray(dt), jnp.asarray(arr["acc"]), jnp.asarray(arr["gyr"]),
+            jnp.asarray(arr["phi"]), jnp.asarray(arr["dphi"]),
+            jnp.asarray(arr["c"]), jnp.asarray(mask),
+            jnp.asarray(ba), jnp.asarray(bg), jnp.asarray(rho))
+
+    def _propagate_frame(self, k: int):
+        """Initialize frame k+1 by midpoint dead-reckoning through interval k
+        (reference: processIMULeg forward propagation, estimator.cpp:639-646)."""
+        pre = self.preints[k]
+        if pre is None:
+            return
+        i, j = k, k + 1
+        g = np.array([0, 0, self.cfg.g_norm])
+        Ri = _quat_to_rot_np(self.q[i])
+        dq = np.asarray(pre.dq)
+        dp = np.asarray(pre.dp)
+        dv = np.asarray(pre.dv)
+        T = float(pre.sum_dt)
+        self.q[j] = _quat_mul_np(self.q[i], dq)
+        self.p[j] = self.p[i] + self.v[i] * T - 0.5 * g * T * T + Ri @ dp
+        self.v[j] = self.v[i] + Ri @ dv - g * T
+        self.ba[j] = self.ba[i]
+        self.bg[j] = self.bg[i]
+        self.rho[j] = self.rho[i]
+
+    # ------------------------------------------------------------------
+    def _poses_np(self):
+        ric = np.stack([_quat_to_rot_np(self.qic[i]) for i in range(2)])
+        R_w = np.stack([_quat_to_rot_np(self.q[i]) for i in range(NF)])
+        return ric, self.tic, self.p.copy(), R_w
+
+    def _window_state(self, depths) -> fac.WindowState:
+        d = np.ones(self.F)
+        d[: len(depths)] = depths
+        return fac.WindowState(
+            p=jnp.asarray(self.p), q=jnp.asarray(self.q), v=jnp.asarray(self.v),
+            ba=jnp.asarray(self.ba), bg=jnp.asarray(self.bg),
+            rho=jnp.asarray(self.rho), tic=jnp.asarray(self.tic),
+            qic=jnp.asarray(self.qic), td=jnp.asarray(self.td, self.dtype),
+            depth=jnp.asarray(d))
+
+    def _free_mask(self):
+        opt_ex = bool(self.cfg.estimate_extrinsic
+                      and (np.linalg.norm(self.v[0]) > 0.2
+                           or self.open_ex_estimation))
+        if opt_ex:
+            self.open_ex_estimation = True
+        return default_free_mask(
+            optimize_leg_bias=self.cfg.optimize_leg_bias and self.cfg.use_leg_odom,
+            optimize_extrinsic=opt_ex,
+            optimize_td=bool(self.cfg.estimate_td
+                             and np.linalg.norm(self.v[0]) > 0.2))
+
+    def _pack(self):
+        feats, slots = self.fm.export()
+        data = pack_window_data(
+            self.preints, feats, prior=self.prior,
+            free_mask=self._free_mask(),
+            gravity=(0, 0, self.cfg.g_norm), F=self.F, dtype=self.dtype)
+        depths = self.fm.depth_vector(slots)
+        return data, feats, slots, depths
+
+    def _optimize(self, init=False):
+        data, feats, slots, depths = self._pack()
+        st0 = self._window_state(depths)
+        solve = self._solve_init if init else self._solve
+        st, info = solve(st0, data)
+        st = jax.tree.map(np.asarray, st)
+        self._adopt(st, slots, feats)
+        self.last_info = info
+        self.last_data = data
+        return st, info
+
+    def _adopt(self, st, slots, feats):
+        self.p = np.array(st.p)
+        self.q = np.array(st.q)
+        self.v = np.array(st.v)
+        self.ba = np.array(st.ba)
+        self.bg = np.array(st.bg)
+        self.rho = np.array(st.rho)
+        self.tic = np.array(st.tic)
+        self.qic = np.array(st.qic)
+        self.td = float(st.td)
+        valid = feats["valid"]
+        d = np.asarray(st.depth)[: len(slots)]
+        for n, s in enumerate(slots):
+            if valid[n]:
+                self.fm.depth[s] = d[n]
+
+    def _initialize(self):
+        """Stereo+IMU+leg init at frame 10: one full solve with biases free
+        replaces solveGyroscopeBias + repropagate (estimator.cpp:734-770),
+        then all intervals are re-preintegrated at the solved biases."""
+        self._optimize(init=True)
+        for k in range(10):
+            if self.buffers[k] is not None:
+                self.preints[k] = self._run_preint(
+                    self.buffers[k], self.ba[k], self.bg[k], self.rho[k])
+        self._optimize(init=True)
+
+    def _reject_outliers(self):
+        """reference: outliersRejection + removeOutlier (estimator.cpp:805-817)."""
+        data, feats, slots, depths = self._pack()
+        st = self._window_state(depths)
+        errs = np.asarray(self._reproj_err(st, data))[: len(slots)]
+        bad = [s for n, s in enumerate(slots)
+               if feats["valid"][n] and errs[n] * C.FOCAL_LENGTH > 3.0]
+        self.fm.remove_outliers(bad)
+
+    # ------------------------------------------------------------------
+    def _post_solve(self, margin_flag):
+        """Marginalize + slide (reference: estimator.cpp:1243-1678)."""
+        data, feats, slots, depths = self._pack()
+        st = self._window_state(depths)
+        if margin_flag == MARGIN_OLD:
+            pj, pr, valid = self._marg_old(st, data)
+            lin = _shift_state(st)
+            if bool(valid):
+                self.prior = (np.asarray(pj), np.asarray(pr), lin)
+            self._slide_old()
+        else:
+            if self.prior is not None:
+                pj, pr, valid = self._marg_new(data)
+                lin = _shift_state_second_new(st)
+                if bool(valid):
+                    self.prior = (np.asarray(pj), np.asarray(pr), lin)
+            self._slide_new()
+
+    def _slide_old(self):
+        p0_old = self.p[0].copy()
+        R0_old = _quat_to_rot_np(self.q[0])
+        for arr in (self.p, self.q, self.v, self.ba, self.bg, self.rho,
+                    self.headers):
+            arr[:-1] = arr[1:]
+        p0_new = self.p[0].copy()
+        R0_new = _quat_to_rot_np(self.q[0])
+        ric = np.stack([_quat_to_rot_np(self.qic[i]) for i in range(2)])
+        self.fm.slide_old(p0_old, R0_old, p0_new, R0_new, self.tic, ric)
+        self.buffers = self.buffers[1:] + [None]
+        self.preints = self.preints[1:] + [None]
+
+    def _slide_new(self):
+        """Merge interval 8 and 9 (splice frame-10 samples into frame 9;
+        reference: estimator.cpp:1567-1652)."""
+        b8, b9 = self.buffers[8], self.buffers[9]
+        if b8 is not None and b9 is not None:
+            merged = IntervalBuffer()
+            for i in range(len(b8)):
+                merged.append(b8.t[i], b8.acc[i], b8.gyr[i], b8.phi[i],
+                              b8.dphi[i], b8.c[i])
+            for i in range(1, len(b9)):  # skip shared boundary sample
+                merged.append(b9.t[i], b9.acc[i], b9.gyr[i], b9.phi[i],
+                              b9.dphi[i], b9.c[i])
+            self.buffers[8] = merged
+            self.preints[8] = self._run_preint(merged, self.ba[8], self.bg[8],
+                                               self.rho[8])
+        elif b9 is not None:
+            self.buffers[8] = b9
+            self.preints[8] = self.preints[9]
+        self.buffers[9] = None
+        self.preints[9] = None
+        # frame 10 -> 9
+        for arr in (self.p, self.q, self.v, self.ba, self.bg, self.rho,
+                    self.headers):
+            arr[C.WINDOW_SIZE - 1] = arr[C.WINDOW_SIZE]
+        self.fm.slide_new()
+
+    def _update_latest(self, t):
+        i = min(self.frame_count, NF - 1)
+        acc = self.pending.acc[-1] if len(self.pending) else np.zeros(3)
+        gyr = self.pending.gyr[-1] if len(self.pending) else np.zeros(3)
+        self.latest = dict(t=t, p=self.p[i].copy(), q=self.q[i].copy(),
+                           v=self.v[i].copy(), ba=self.ba[i].copy(),
+                           bg=self.bg[i].copy(), acc=acc, gyr=gyr)
+
+    # ------------------------------------------------------------------
+    @property
+    def pose(self):
+        i = min(self.frame_count, NF - 1)
+        return self.p[i].copy(), self.q[i].copy()
+
+    @property
+    def velocity(self):
+        return self.v[min(self.frame_count, NF - 1)].copy()
+
+
+def _shift_state(st: fac.WindowState) -> fac.WindowState:
+    sh = lambda a: jnp.concatenate([a[1:], a[-1:]], axis=0)
+    return st._replace(p=sh(st.p), q=sh(st.q), v=sh(st.v), ba=sh(st.ba),
+                       bg=sh(st.bg), rho=sh(st.rho))
+
+
+def _shift_state_second_new(st: fac.WindowState) -> fac.WindowState:
+    i, j = C.WINDOW_SIZE - 1, C.WINDOW_SIZE
+    rep = lambda a: a.at[i].set(a[j])
+    return st._replace(p=rep(st.p), q=rep(st.q), v=rep(st.v), ba=rep(st.ba),
+                       bg=rep(st.bg), rho=rep(st.rho))
+
+
+# ---- small numpy quaternion helpers (host-side only) ----
+
+def _quat_mul_np(q, p):
+    w1, x1, y1, z1 = q
+    w2, x2, y2, z2 = p
+    return np.array([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2])
+
+
+def _delta_q_np(theta):
+    q = np.concatenate([[1.0], theta / 2.0])
+    return q / np.linalg.norm(q)
+
+
+def _quat_to_rot_np(q):
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+
+
+def _rot_np(q, v):
+    return _quat_to_rot_np(q) @ v
+
+
+def _rot_to_quat_np(R):
+    from scipy.spatial.transform import Rotation
+    return np.roll(Rotation.from_matrix(R).as_quat(), 1)

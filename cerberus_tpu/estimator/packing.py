@@ -1,0 +1,136 @@
+"""Packing measurement streams into a WindowData problem.
+
+Bridges the host-side sliding-window bookkeeping (feature slots, interval
+buffers) and the device-side fixed-shape problem (ops/factors.WindowData).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cerberus_tpu import config as C
+from cerberus_tpu.ops import factors as fac
+from cerberus_tpu.ops.preintegration import ILPreint
+
+
+def whiten_chol(P: jax.Array, jitter: float = 0.0) -> jax.Array:
+    """Cholesky factor L of P (+jitter I); whitening is solve(L, r)."""
+    n = P.shape[-1]
+    Ps = 0.5 * (P + jnp.swapaxes(P, -1, -2))
+    if jitter:
+        Ps = Ps + jitter * jnp.eye(n, dtype=P.dtype)
+    return jnp.linalg.cholesky(Ps)
+
+
+def default_free_mask(optimize_leg_bias=True, optimize_extrinsic=False,
+                      optimize_td=False) -> np.ndarray:
+    """(222,) bool free mask (reference: estimator.cpp:1065-1105
+    SetParameterBlockConstant logic)."""
+    m = np.zeros((fac.D_DENSE,), bool)
+    for i in range(C.NUM_FRAMES):
+        base = fac.PER_FRAME * i
+        m[base: base + 15] = True                  # pose + speedbias
+        m[base + 15: base + 19] = optimize_leg_bias
+    m[fac.EX0_OFF: fac.EX0_OFF + 12] = optimize_extrinsic
+    m[fac.TD_OFF] = optimize_td
+    return m
+
+
+def pack_window_data(
+    preints: list[ILPreint],
+    features: dict,
+    prior=None,
+    free_mask: np.ndarray | None = None,
+    gravity=(0.0, 0.0, 9.805),
+    F: int = C.MAX_FEATURES,
+    dtype=jnp.float64,
+    cov_jitter: float = 1e-14,
+) -> fac.WindowData:
+    """Assemble a WindowData.
+
+    Args:
+      preints: list of 10 ILPreint (or None for invalid intervals).
+      features: dict with numpy arrays
+        start (Fa,), pts (Fa,11,3), pts_r (Fa,11,3), vel (Fa,11,2),
+        vel_r (Fa,11,2), td (Fa,11), obs (Fa,11) bool, stereo (Fa,11) bool,
+        valid (Fa,) bool  — Fa <= F; padded to F here.
+      prior: None or (prior_J (222,222), prior_r (222,), lin_state WindowState).
+    """
+    f = lambda x: jnp.asarray(x, dtype)
+
+    def stack(getter, shape, default=0.0):
+        rows = []
+        for pre in preints:
+            if pre is not None:
+                rows.append(jnp.asarray(getter(pre), dtype))
+            else:
+                d = jnp.zeros(shape, dtype)
+                if shape == (4,):  # identity quaternion default
+                    d = d.at[0].set(1.0)
+                rows.append(d)
+        return jnp.stack(rows)
+
+    pre_dp = stack(lambda p: p.dp, (3,))
+    pre_dq = stack(lambda p: p.dq, (4,))
+    pre_dv = stack(lambda p: p.dv, (3,))
+    pre_deps = stack(lambda p: p.deps, (4, 3))
+    pre_J = stack(lambda p: p.J, (31, 31))
+    pre_P = stack(lambda p: p.P, (31, 31))
+    pre_dt = stack(lambda p: p.sum_dt, ())
+    pre_ba = stack(lambda p: p.ba, (3,))
+    pre_bg = stack(lambda p: p.bg, (3,))
+    pre_rho = stack(lambda p: p.rho, (4,))
+    valid = jnp.array([p is not None for p in preints])
+    # invalid intervals get identity covariance to keep cholesky defined
+    pre_P = jnp.where(valid[:, None, None], pre_P,
+                      jnp.eye(31, dtype=dtype)[None])
+    pre_L = whiten_chol(pre_P, jitter=cov_jitter)
+    # guard: if cholesky failed (non-PSD), fall back to identity whitening
+    bad = jnp.any(jnp.isnan(pre_L), axis=(1, 2))
+    pre_L = jnp.where(bad[:, None, None], jnp.eye(31, dtype=dtype)[None], pre_L)
+    # sum_dt > 10 s excluded (reference: estimator.cpp:1119)
+    valid = valid & (pre_dt < 10.0)
+
+    Fa = features["start"].shape[0]
+    assert Fa <= F, f"too many features {Fa} > {F}"
+
+    def padf(x, fill=0.0):
+        x = np.asarray(x)
+        out = np.full((F,) + x.shape[1:], fill, dtype=x.dtype)
+        out[:Fa] = x
+        return out
+
+    start = jnp.asarray(padf(features["start"]).astype(np.int32))
+    fobs = jnp.asarray(padf(features["obs"]).astype(bool))
+    fval = jnp.asarray(padf(features["valid"]).astype(bool))
+
+    if prior is None:
+        prior_J = jnp.zeros((fac.D_DENSE, fac.D_DENSE), dtype)
+        prior_r = jnp.zeros((fac.D_DENSE,), dtype)
+        prior_valid = jnp.asarray(False)
+        prior_lin = fac.WindowState.zero(F, dtype)
+    else:
+        prior_J, prior_r, prior_lin = prior
+        prior_J = f(prior_J)
+        prior_r = f(prior_r)
+        prior_valid = jnp.asarray(True)
+        prior_lin = prior_lin._replace(depth=jnp.zeros((F,), dtype))
+
+    if free_mask is None:
+        free_mask = default_free_mask()
+
+    return fac.WindowData(
+        pre_dp=pre_dp, pre_dq=pre_dq, pre_dv=pre_dv, pre_deps=pre_deps,
+        pre_J=pre_J, pre_L=pre_L, pre_dt=pre_dt, pre_ba=pre_ba,
+        pre_bg=pre_bg, pre_rho=pre_rho, interval_valid=valid,
+        f_start=start, f_pts=f(padf(features["pts"])),
+        f_pts_r=f(padf(features["pts_r"])), f_vel=f(padf(features["vel"])),
+        f_vel_r=f(padf(features["vel_r"])), f_td=f(padf(features["td"])),
+        f_obs=fobs, f_stereo=jnp.asarray(padf(features["stereo"]).astype(bool)),
+        f_valid=fval,
+        prior_J=prior_J, prior_r=prior_r, prior_valid=prior_valid,
+        prior_lin=prior_lin,
+        free_mask=jnp.asarray(free_mask), gravity=f(gravity),
+    )

@@ -1,0 +1,104 @@
+"""Batched Levenberg-Marquardt core for the sliding-window problem.
+
+Replaces the reference's Ceres DENSE_SCHUR + DOGLEG solve
+(reference: estimator.cpp:1221-1236). On TPU the reduced system is small
+enough (~(222+F) dims) that an explicitly-damped dense Cholesky per iteration
+beats a Schur pipeline: one fat J^T J matmul on the MXU + one O(n^3) factor.
+The whole loop lives inside jit (lax.fori_loop) and vmaps over batches of
+windows. Gauge freedom (global position + yaw) is handled like the reference:
+free during the solve (damping regularizes the null space) and re-anchored to
+frame 0 afterwards (estimator.cpp:903-1000 double2vector).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cerberus_tpu.ops import factors as fac
+from cerberus_tpu.utils import lie
+
+
+class SolveOptions(NamedTuple):
+    max_iters: int = 12           # reference: max_num_iterations
+    lam0: float = 1e-4
+    lam_up: float = 4.0
+    lam_down: float = 3.0
+    lam_min: float = 1e-12
+    lam_max: float = 1e8
+    diag_floor: float = 1e-8
+
+
+class SolveInfo(NamedTuple):
+    cost0: jax.Array
+    cost: jax.Array
+    lam: jax.Array
+    accepted: jax.Array   # number of accepted steps
+
+
+def _damped_solve(H, b, lam, opts: SolveOptions):
+    """Solve (H + lam*diag(H)) dx = -b with Jacobi equilibration."""
+    d = jnp.sqrt(jnp.maximum(jnp.diag(H), opts.diag_floor))
+    Hs = H / (d[:, None] * d[None, :])
+    n = H.shape[0]
+    A = Hs + lam * jnp.eye(n, dtype=H.dtype) + 1e-12 * jnp.eye(n, dtype=H.dtype)
+    L = jnp.linalg.cholesky(A)
+    y = jax.scipy.linalg.cho_solve((L, True), -b / d)
+    return y / d
+
+
+def solve_window(state: fac.WindowState, data: fac.WindowData,
+                 opts: SolveOptions = SolveOptions()):
+    """Run LM on one window. Returns (new_state, SolveInfo)."""
+    F = state.depth.shape[0]
+
+    def cost_of(st):
+        zero = jnp.zeros((fac.tangent_dim(F),), st.p.dtype)
+        r = fac.window_residuals(st, zero, data)
+        return fac.robust_cost(r, F)
+
+    cost0 = cost_of(state)
+
+    def body(_, carry):
+        st, lam, cost, acc = carry
+        r, J, _ = fac.linearize(st, data)
+        H = J.T @ J
+        b = J.T @ r
+        dx = _damped_solve(H, b, lam, opts)
+        cand = fac.retract(st, dx)
+        new_cost = cost_of(cand)
+        ok = new_cost < cost
+        st2 = jax.tree.map(lambda a, b_: jnp.where(ok, a, b_), cand, st)
+        lam2 = jnp.where(ok, jnp.maximum(lam / opts.lam_down, opts.lam_min),
+                         jnp.minimum(lam * opts.lam_up, opts.lam_max))
+        cost2 = jnp.where(ok, new_cost, cost)
+        return st2, lam2, cost2, acc + ok.astype(jnp.int32)
+
+    lam = jnp.asarray(opts.lam0, state.p.dtype)
+    st, lam, cost, acc = jax.lax.fori_loop(
+        0, opts.max_iters, body, (state, lam, cost0, jnp.zeros((), jnp.int32)))
+    st = reanchor(state, st)
+    return st, SolveInfo(cost0=cost0, cost=cost, lam=lam, accepted=acc)
+
+
+def reanchor(old: fac.WindowState, new: fac.WindowState) -> fac.WindowState:
+    """Re-fix the gauge: keep frame-0 position and yaw at their pre-solve
+    values (reference: estimator.cpp:903-1000)."""
+    ypr_old = lie.rot_to_ypr(lie.quat_to_rot(old.q[0]))
+    ypr_new = lie.rot_to_ypr(lie.quat_to_rot(new.q[0]))
+    y_diff = ypr_old[0] - ypr_new[0]
+    rot_diff = lie.ypr_to_rot(jnp.stack([y_diff, jnp.zeros_like(y_diff),
+                                         jnp.zeros_like(y_diff)]))
+    # euler-singularity fallback (pitch near +-90 deg)
+    singular = (jnp.abs(jnp.abs(ypr_old[1]) - 90.0) < 1.0) | \
+               (jnp.abs(jnp.abs(ypr_new[1]) - 90.0) < 1.0)
+    R_fallback = lie.quat_to_rot(old.q[0]) @ lie.quat_to_rot(new.q[0]).T
+    rot_diff = jnp.where(singular, R_fallback, rot_diff)
+    q_diff = lie.rot_to_quat(rot_diff)
+
+    p = (new.p - new.p[0]) @ rot_diff.T + old.p[0]
+    q = lie.quat_normalize(lie.quat_mul(q_diff[None, :], new.q))
+    v = new.v @ rot_diff.T
+    return new._replace(p=p, q=q, v=v)

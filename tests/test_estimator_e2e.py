@@ -1,0 +1,54 @@
+"""End-to-end estimator replay test (the framework's 'rosbag replay').
+
+Streams simulated sensor data through the full pipeline — buffering,
+preintegration, feature management, init, window solves, marginalization,
+sliding — and checks the headline metric: drift % of distance traveled
+(reference claims <1 %, README.md:4)."""
+
+import numpy as np
+import pytest
+
+from cerberus_tpu.config import EstimatorConfig
+from cerberus_tpu.data import SimConfig, simulate
+from cerberus_tpu.data.replay import replay
+
+
+@pytest.mark.slow
+def test_replay_low_drift():
+    sim = simulate(SimConfig(duration=3.0, speed=0.5, seed=5))
+    out = replay(sim, max_frames=20)
+    est = out["estimator"]
+    assert est.solver_flag == est.NON_LINEAR
+    assert est.stats["solves"] >= 5
+    assert out["distance"] > 0.2
+    assert out["drift_pct"] < 2.0, out
+    # biases pulled toward truth
+    assert abs(est.bg[5][2] - sim["gyr_bias"][2]) < 0.01
+    # kinematic calibration stays near nominal
+    assert np.all(np.abs(est.rho - 0.21) < 0.02)
+
+
+@pytest.mark.slow
+def test_replay_handles_non_keyframes():
+    """Slow walk => low parallax => MARGIN_SECOND_NEW path must be exercised
+    without corrupting the window."""
+    sim = simulate(SimConfig(duration=3.0, speed=0.15, seed=7))
+    out = replay(sim, max_frames=20)
+    est = out["estimator"]
+    assert est.stats["keyframes"] < 20  # some non-keyframes occurred
+    assert np.isfinite(out["ate_rmse"])
+    assert out["ate_rmse"] < 0.05
+
+
+def test_restart_semantics():
+    """clearState must fully reset (reference: /vins_restart, main.cpp:236)."""
+    from cerberus_tpu.estimator.estimator import Estimator
+
+    est = Estimator(EstimatorConfig())
+    est.input_imu_leg(0.0, np.array([0, 0, 9.805]), np.zeros(3),
+                      np.tile([0.0, 0.8, -1.6], 4), np.zeros(12), np.ones(4))
+    est.clear_state()
+    assert est.frame_count == 0
+    assert est.solver_flag == est.INITIAL
+    assert est.prior is None
+    assert est.fm.active.sum() == 0

@@ -1,0 +1,121 @@
+"""End-to-end window solver tests on simulated data.
+
+Builds a full 11-keyframe VILO window from the simulator (IMU+leg
+preintegration between keyframes, stereo feature tracks from landmark
+projections), perturbs the state, and checks the LM solver recovers the
+ground-truth trajectory, biases, and kinematic parameters.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cerberus_tpu import config as C
+from cerberus_tpu.config import EstimatorConfig
+from cerberus_tpu.data import SimConfig, simulate
+from cerberus_tpu.estimator import pack_window_data
+from cerberus_tpu.estimator.packing import default_free_mask
+from cerberus_tpu.ops import PreintParams, il_preintegrate
+from cerberus_tpu.ops import factors as fac
+from cerberus_tpu.ops.solver import SolveOptions, solve_window
+from cerberus_tpu.utils import lie
+
+CFG = EstimatorConfig()
+PARAMS = PreintParams.from_config(CFG)
+
+
+from cerberus_tpu.data.window_builder import build_window_from_sim
+
+
+def build_window(sim, cfg=CFG, **kw):
+    return build_window_from_sim(sim, cfg, **kw)
+
+
+def perturb_state(truth, rng, p_sig=0.05, th_sig=0.02, v_sig=0.05,
+                  zero_bias=True, rho_sig=0.005, depth_sig=0.05):
+    st = truth
+    th = rng.normal(size=(11, 3)) * th_sig
+    st = st._replace(
+        p=st.p + jnp.asarray(rng.normal(size=(11, 3)) * p_sig),
+        q=lie.quat_normalize(lie.quat_mul(st.q, lie.delta_q(jnp.asarray(th)))),
+        v=st.v + jnp.asarray(rng.normal(size=(11, 3)) * v_sig),
+        rho=st.rho + jnp.asarray(rng.normal(size=(11, 4)) * rho_sig),
+        depth=st.depth * (1 + jnp.asarray(rng.normal(size=st.depth.shape)) * depth_sig),
+    )
+    if zero_bias:
+        st = st._replace(ba=jnp.zeros_like(st.ba), bg=jnp.zeros_like(st.bg))
+    return st
+
+
+def rel_traj_err(st: fac.WindowState, truth: fac.WindowState):
+    """Trajectory error after aligning frame 0 (gauge-free comparison)."""
+    R0 = lie.quat_to_rot(st.q[0])
+    R0t = lie.quat_to_rot(truth.q[0])
+    rel = jnp.einsum("ij,nj->ni", R0.T, st.p - st.p[0])
+    rel_t = jnp.einsum("ij,nj->ni", R0t.T, truth.p - truth.p[0])
+    return np.asarray(jnp.linalg.norm(rel - rel_t, axis=-1))
+
+
+@pytest.fixture(scope="module")
+def sim():
+    return simulate(SimConfig(duration=10.0, speed=0.5, seed=3))
+
+
+def test_residuals_small_at_truth(sim):
+    data, truth, Fa = build_window(sim)
+    zero = jnp.zeros((fac.tangent_dim(truth.depth.shape[0]),))
+    r = fac.window_residuals(truth, zero, data)
+    cost = fac.robust_cost(r, truth.depth.shape[0])
+    # with measurement noise, whitened cost should be O(#residuals)
+    n_active = 310 + int(jnp.sum(data.f_obs)) * 2 + int(jnp.sum(data.f_stereo)) * 2
+    assert np.isfinite(float(cost))
+    assert float(cost) < 20 * n_active, float(cost)
+
+
+def test_solver_recovers_truth(sim):
+    rng = np.random.default_rng(1)
+    data, truth, Fa = build_window(sim)
+    init = perturb_state(truth, rng)
+    st, info = solve_window(init, data, SolveOptions(max_iters=12))
+    err = rel_traj_err(st, truth)
+    err0 = rel_traj_err(init, truth)
+    assert float(info.cost) < float(info.cost0) * 0.05, (info.cost0, info.cost)
+    assert err.max() < 0.02, (err0.max(), err.max())
+    # biases recovered
+    ba_err = np.abs(np.asarray(st.ba[5]) - np.asarray(truth.ba[5]))
+    bg_err = np.abs(np.asarray(st.bg[5]) - np.asarray(truth.bg[5]))
+    assert bg_err.max() < 0.005, bg_err
+    assert ba_err.max() < 0.1, ba_err
+    # kinematic calibration: rho recovered to mm level
+    rho_err = np.abs(np.asarray(st.rho) - 0.21)
+    assert rho_err.max() < 0.01, rho_err.max()
+
+
+def test_solver_gauge_anchoring(sim):
+    """Frame-0 position and yaw must stay put through the solve."""
+    rng = np.random.default_rng(2)
+    data, truth, Fa = build_window(sim)
+    init = perturb_state(truth, rng)
+    st, _ = solve_window(init, data)
+    np.testing.assert_allclose(np.asarray(st.p[0]), np.asarray(init.p[0]),
+                               atol=1e-9)
+    ypr_i = np.asarray(lie.rot_to_ypr(lie.quat_to_rot(init.q[0])))
+    ypr_s = np.asarray(lie.rot_to_ypr(lie.quat_to_rot(st.q[0])))
+    assert abs(ypr_i[0] - ypr_s[0]) < 1e-6
+
+
+def test_solver_jit_second_call_fast(sim):
+    import time
+    data, truth, Fa = build_window(sim)
+    rng = np.random.default_rng(0)
+    init = perturb_state(truth, rng)
+    solve = jax.jit(lambda s, d: solve_window(s, d))
+    st, info = solve(init, data)
+    jax.block_until_ready(st)
+    t0 = time.time()
+    st, info = solve(init, data)
+    jax.block_until_ready(st)
+    dt = time.time() - t0
+    # CPU f64: generous bound; the TPU bench tracks the real number
+    assert dt < 30.0, dt
