@@ -17,11 +17,15 @@ from cerberus_tpu.estimator.estimator import Estimator
 
 def replay(sim: dict, cfg: EstimatorConfig | None = None,
            est: Estimator | None = None, max_frames: int | None = None,
-           csv_path: str | None = None) -> dict:
+           csv_path: str | None = None, ekf=None) -> dict:
     """Feed simulator output through the estimator.
 
     Returns dict with est_t, est_p, est_q, gt_p, ate_rmse, drift_pct,
-    distance, and the estimator instance.
+    distance, and the estimator instance. With csv_path set, writes the
+    reference's 20-column result schema (reference: main.cpp:152-197):
+    [t_ns, p_wr(3), v_wr(3), ekf_pos(3), ekf_vel(3), gt_pos(3), rho(4)].
+    If `ekf` (LeggedEKF) is given it is run alongside at sensor rate and its
+    state fills columns 8-13 (else zeros).
     """
     est = est or Estimator(cfg)
     t = sim["t"]
@@ -32,10 +36,26 @@ def replay(sim: dict, cfg: EstimatorConfig | None = None,
         cam_idx = set(allowed)
 
     est_t, est_p, est_q, gt_p = [], [], [], []
-    rows = []
+    writer = None
+    if csv_path:
+        header = ("t_ns,px,py,pz,vx,vy,vz,kf_px,kf_py,kf_pz,kf_vx,kf_vy,"
+                  "kf_vz,gt_x,gt_y,gt_z,rho1,rho2,rho3,rho4")
+        try:
+            from cerberus_tpu.native import CsvWriter
+            writer = CsvWriter(csv_path, header)
+        except Exception:
+            writer = _PyCsv(csv_path, header)
     for k in range(len(t)):
         est.input_imu_leg(t[k], sim["acc"][k], sim["gyr"][k], sim["phi"][k],
                           sim["dphi"][k], sim["contacts"][k])
+        if ekf is not None:
+            if not ekf.is_inited():
+                ekf.init_filter(t[k], sim["acc"][k], sim["gyr"][k],
+                                sim["phi"][k])
+            else:
+                ekf.update_filter(t[k], sim["acc"][k], sim["gyr"][k],
+                                  sim["phi"][k], dphi=sim["dphi"][k],
+                                  foot_force=sim["foot_forces"][k])
         if k in cam_idx:
             est.input_image(t[k], cam_lookup[k])
             if est.solver_flag == Estimator.NON_LINEAR:
@@ -44,19 +64,34 @@ def replay(sim: dict, cfg: EstimatorConfig | None = None,
                 est_p.append(p)
                 est_q.append(q)
                 gt_p.append(sim["p"][k])
-                rows.append([t[k], *p, *q, *est.velocity, *sim["p"][k],
-                             *est.rho[-1]])
+                if writer is not None:
+                    kf = (ekf.get_state()[:6] if ekf is not None
+                          and ekf.is_inited() else np.zeros(6))
+                    writer.row([t[k] * 1e9, *p, *est.velocity, *kf[0:3],
+                                *kf[3:6], *sim["p"][k], *est.rho[-1]])
 
+    if writer is not None:
+        writer.close()
     est_p = np.array(est_p) if est_p else np.zeros((0, 3))
     gt_p = np.array(gt_p) if gt_p else np.zeros((0, 3))
 
     metrics = score(est_p, gt_p)
-    if csv_path and rows:
-        header = ("t,px,py,pz,qw,qx,qy,qz,vx,vy,vz,gtx,gty,gtz,"
-                  "rho1,rho2,rho3,rho4")
-        np.savetxt(csv_path, np.array(rows), delimiter=",", header=header)
     return dict(est_t=np.array(est_t), est_p=est_p, est_q=est_q, gt_p=gt_p,
                 estimator=est, **metrics)
+
+
+class _PyCsv:
+    """Pure-python fallback for the native CsvWriter."""
+
+    def __init__(self, path, header):
+        self.f = open(path, "w")
+        self.f.write(header + "\n")
+
+    def row(self, vals):
+        self.f.write(",".join(f"{v:.9g}" for v in vals) + "\n")
+
+    def close(self):
+        self.f.close()
 
 
 def score(est_p: np.ndarray, gt_p: np.ndarray) -> dict:

@@ -70,12 +70,18 @@ class Estimator:
     INITIAL, NON_LINEAR = 0, 1
 
     def __init__(self, cfg: EstimatorConfig | None = None,
-                 max_samples: int = 256, dtype=jnp.float64):
+                 max_samples: int = 256, dtype=jnp.float64,
+                 use_native: bool | None = None):
         self.cfg = cfg or EstimatorConfig()
         self.dtype = dtype
         self.S = max_samples
         self.params = PreintParams.from_config(self.cfg, dtype)
         self.F = self.cfg.max_features
+        # native C++ ring-buffer ingestion + time-sync (cerberus_tpu/native.py)
+        from cerberus_tpu import native as _native
+        if use_native is None:
+            use_native = _native.available()
+        self.use_native = bool(use_native and _native.available())
 
         self.fm = FeatureManager(self.F, self.cfg.min_parallax)
         self.clear_state()
@@ -120,17 +126,26 @@ class Estimator:
         self.prior = None          # (J, r, lin_state)
         self.pending = IntervalBuffer()
         self.last_sample = None
+        self.sync = None
+        self.prev_img_t = None
+        if getattr(self, "use_native", False):
+            from cerberus_tpu.native import SensorSync
+            self.sync = SensorSync()
         self.fm = FeatureManager(self.F, self.cfg.min_parallax)
 
         # IMU-rate fast prediction state (reference: fastPredictIMU)
         self.latest = None
+        self._last_pose = None
         self.stats = {"solves": 0, "solve_time": 0.0, "keyframes": 0}
 
     # ------------------------------------------------------------------
     def input_imu_leg(self, t, acc, gyr, phi, dphi, contact):
         """500 Hz proprioceptive tick (reference: inputIMU + inputLeg,
         estimator.cpp:255-300)."""
-        self.pending.append(t, acc, gyr, phi, dphi, contact)
+        if self.sync is not None:
+            self.sync.push(t, acc, gyr, phi, dphi, contact)
+        else:
+            self.pending.append(t, acc, gyr, phi, dphi, contact)
         if self.latest is not None:
             self._fast_predict(t, np.asarray(acc), np.asarray(gyr))
 
@@ -187,11 +202,35 @@ class Estimator:
         else:
             self.fm.triangulate(p_w, R_w, tic_, ric)
             t0 = time.time()
-            self._optimize()
+            # pack ONCE per frame; solve / outlier scoring / marginalization
+            # all reuse the same device-resident WindowData (only the f_valid
+            # mask is updated between stages)
+            data, feats_d, slots, depths = self._pack()
+            st0 = self._window_state(depths)
+            st, info = self._solve(st0, data)
+            st_np = jax.device_get(st)  # ONE batched D2H (tunnel-friendly)
+            self._adopt(st_np, slots, feats_d)
+            self.last_info = info
             self.stats["solve_time"] += time.time() - t0
             self.stats["solves"] += 1
-            self._reject_outliers()
-            self._post_solve(margin_flag)
+
+            # outlier rejection on the post-solve state (same data)
+            st_dev = self._window_state(self.fm.depth_vector(slots))
+            errs = jax.device_get(self._reproj_err(st_dev, data))[: len(slots)]
+            bad_local = [n for n in range(len(slots))
+                         if feats_d["valid"][n]
+                         and errs[n] * C.FOCAL_LENGTH > 3.0]
+            self.fm.remove_outliers([slots[n] for n in bad_local])
+            if bad_local:
+                newmask = np.asarray(data.f_valid).copy()
+                newmask[bad_local] = False
+                data = data._replace(f_valid=jnp.asarray(newmask))
+
+            if self.failure_detection():
+                # system reboot (reference: estimator.cpp:823-831)
+                self.clear_state()
+                return
+            self._post_solve(margin_flag, data=data, slots=slots)
             self.fm.remove_failures()
         self._update_latest(t)
 
@@ -199,6 +238,15 @@ class Estimator:
     def _init_first_pose(self, t):
         """Gravity-align the first frame (reference: initFirstIMUPose,
         estimator.cpp:524-544)."""
+        if self.sync is not None:
+            rows = self.sync.extract(-1e18, t)
+            self.prev_img_t = t
+            if rows is None or len(rows) == 0:
+                return
+            acc_mean = rows[:, 1:4].mean(axis=0)
+            R0 = np.asarray(lie.g_to_rot(jnp.asarray(acc_mean)))
+            self.q[0] = _rot_to_quat_np(R0)
+            return
         if len(self.pending) == 0:
             return
         acc_mean = np.mean(np.stack(self.pending.acc), axis=0)
@@ -216,13 +264,24 @@ class Estimator:
                                 keep.phi[-1], keep.dphi[-1], keep.c[-1])
 
     def _close_interval(self, k: int, t_img):
-        """Move pending samples into interval k's buffer and preintegrate."""
-        buf = self.pending
-        self.pending = IntervalBuffer()
-        if len(buf):
-            # boundary sample for the next interval
-            self.pending.append(buf.t[-1], buf.acc[-1], buf.gyr[-1],
-                                buf.phi[-1], buf.dphi[-1], buf.c[-1])
+        """Move the samples spanning (prev image, this image] into interval
+        k's buffer and preintegrate (reference: getIMUAndLegInterval,
+        estimator.cpp:303-397)."""
+        if self.sync is not None:
+            rows = self.sync.extract(self.prev_img_t, t_img)
+            self.prev_img_t = t_img
+            buf = IntervalBuffer()
+            if rows is not None:
+                for r in rows:
+                    buf.append(r[0], r[1:4], r[4:7], r[7:19], r[19:31],
+                               r[31:35])
+        else:
+            buf = self.pending
+            self.pending = IntervalBuffer()
+            if len(buf):
+                # boundary sample for the next interval
+                self.pending.append(buf.t[-1], buf.acc[-1], buf.gyr[-1],
+                                    buf.phi[-1], buf.dphi[-1], buf.c[-1])
         self.buffers[k] = buf
         self.preints[k] = self._run_preint(buf, self.ba[k], self.bg[k],
                                            self.rho[k])
@@ -258,10 +317,8 @@ class Estimator:
         i, j = k, k + 1
         g = np.array([0, 0, self.cfg.g_norm])
         Ri = _quat_to_rot_np(self.q[i])
-        dq = np.asarray(pre.dq)
-        dp = np.asarray(pre.dp)
-        dv = np.asarray(pre.dv)
-        T = float(pre.sum_dt)
+        dq, dp, dv, T = jax.device_get((pre.dq, pre.dp, pre.dv, pre.sum_dt))
+        T = float(T)
         self.q[j] = _quat_mul_np(self.q[i], dq)
         self.p[j] = self.p[i] + self.v[i] * T - 0.5 * g * T * T + Ri @ dp
         self.v[j] = self.v[i] + Ri @ dv - g * T
@@ -311,7 +368,7 @@ class Estimator:
         st0 = self._window_state(depths)
         solve = self._solve_init if init else self._solve
         st, info = solve(st0, data)
-        st = jax.tree.map(np.asarray, st)
+        st = jax.device_get(st)
         self._adopt(st, slots, feats)
         self.last_info = info
         self.last_data = data
@@ -344,6 +401,29 @@ class Estimator:
                     self.buffers[k], self.ba[k], self.bg[k], self.rho[k])
         self._optimize(init=True)
 
+    def failure_detection(self) -> bool:
+        """Divergence checks. The reference defines these thresholds but
+        disables them with an early return (estimator.cpp:1005-1050); here
+        they are live (SURVEY.md §5 calls for implementing them)."""
+        i = C.WINDOW_SIZE
+        if np.linalg.norm(self.ba[i]) > 2.5:
+            return True
+        if np.linalg.norm(self.bg[i]) > 1.0:
+            return True
+        if self._last_pose is not None:
+            last_p, last_q = self._last_pose
+            if np.linalg.norm(self.p[i] - last_p) > 5.0:
+                return True
+            if abs(self.p[i][2] - last_p[2]) > 1.0:
+                return True
+            dq = _quat_mul_np(np.array([last_q[0], -last_q[1], -last_q[2],
+                                        -last_q[3]]), self.q[i])
+            ang = np.degrees(2 * np.arccos(np.clip(abs(dq[0]), -1, 1)))
+            if ang > 50.0:
+                return True
+        self._last_pose = (self.p[i].copy(), self.q[i].copy())
+        return False
+
     def _reject_outliers(self):
         """reference: outliersRejection + removeOutlier (estimator.cpp:805-817)."""
         data, feats, slots, depths = self._pack()
@@ -354,22 +434,25 @@ class Estimator:
         self.fm.remove_outliers(bad)
 
     # ------------------------------------------------------------------
-    def _post_solve(self, margin_flag):
+    def _post_solve(self, margin_flag, data=None, slots=None):
         """Marginalize + slide (reference: estimator.cpp:1243-1678)."""
-        data, feats, slots, depths = self._pack()
+        if data is None:
+            data, feats, slots, depths = self._pack()
+        else:
+            depths = self.fm.depth_vector(slots)
         st = self._window_state(depths)
         if margin_flag == MARGIN_OLD:
             pj, pr, valid = self._marg_old(st, data)
             lin = _shift_state(st)
             if bool(valid):
-                self.prior = (np.asarray(pj), np.asarray(pr), lin)
+                self.prior = (pj, pr, lin)  # device-resident
             self._slide_old()
         else:
             if self.prior is not None:
-                pj, pr, valid = self._marg_new(data)
+                pj, pr, valid = self._marg_new(st, data)
                 lin = _shift_state_second_new(st)
                 if bool(valid):
-                    self.prior = (np.asarray(pj), np.asarray(pr), lin)
+                    self.prior = (pj, pr, lin)
             self._slide_new()
 
     def _slide_old(self):
@@ -413,8 +496,12 @@ class Estimator:
 
     def _update_latest(self, t):
         i = min(self.frame_count, NF - 1)
-        acc = self.pending.acc[-1] if len(self.pending) else np.zeros(3)
-        gyr = self.pending.gyr[-1] if len(self.pending) else np.zeros(3)
+        if len(self.pending):
+            acc, gyr = self.pending.acc[-1], self.pending.gyr[-1]
+        elif self.buffers[9] is not None and len(self.buffers[9]):
+            acc, gyr = self.buffers[9].acc[-1], self.buffers[9].gyr[-1]
+        else:
+            acc, gyr = np.zeros(3), np.zeros(3)
         self.latest = dict(t=t, p=self.p[i].copy(), q=self.q[i].copy(),
                            v=self.v[i].copy(), ba=self.ba[i].copy(),
                            bg=self.bg[i].copy(), acc=acc, gyr=gyr)

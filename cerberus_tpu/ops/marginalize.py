@@ -99,12 +99,17 @@ def marginalize_old(state: fac.WindowState, data: fac.WindowData):
     return prior_J, prior_r, valid
 
 
-def marginalize_second_new(data: fac.WindowData):
+def marginalize_second_new(state: fac.WindowState, data: fac.WindowData):
     """MARGIN_SECOND_NEW: drop frame (W-1)'s pose from the existing prior only
-    (reference: estimator.cpp:1377-1455). Returns shifted (J, r, valid)."""
+    (reference: estimator.cpp:1377-1455). Returns shifted (J, r, valid).
+
+    The prior residual is re-evaluated at the CURRENT state (the reference
+    re-evaluates all blocks at para_* after the solve) so the resulting
+    (J, r) pair is anchored at `state` as its new linearization point."""
     dtype = data.prior_J.dtype
+    r_here = data.prior_r + data.prior_J @ fac.local_diff(state, data.prior_lin)
     H = data.prior_J.T @ data.prior_J
-    b = data.prior_J.T @ data.prior_r
+    b = data.prior_J.T @ r_here
 
     i = C.WINDOW_SIZE - 1
     drop = jnp.zeros((fac.D_DENSE,), bool)

@@ -1,0 +1,108 @@
+"""Auxiliary subsystem tests: checkpoint/resume, failure detection,
+initial-alignment solvers, profiling."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cerberus_tpu.config import EstimatorConfig
+from cerberus_tpu.data import SimConfig, simulate
+from cerberus_tpu.data.replay import replay
+from cerberus_tpu.estimator.estimator import Estimator
+from cerberus_tpu.estimator.initial_alignment import (
+    solve_gyro_leg_bias, solve_gyroscope_bias)
+from cerberus_tpu.ops import PreintParams, il_preintegrate
+from cerberus_tpu.utils.checkpoint import load_estimator, save_estimator
+from cerberus_tpu.utils.profiling import TicToc, Timers
+
+
+@pytest.mark.slow
+def test_checkpoint_roundtrip(tmp_path):
+    sim = simulate(SimConfig(duration=2.0, speed=0.5, seed=5))
+    out = replay(sim, max_frames=13)
+    est = out["estimator"]
+    path = str(tmp_path / "ckpt.npz")
+    save_estimator(est, path)
+
+    est2 = Estimator(EstimatorConfig())
+    load_estimator(est2, path)
+    np.testing.assert_allclose(est2.p, est.p, atol=0)
+    np.testing.assert_allclose(est2.bg, est.bg, atol=0)
+    assert est2.frame_count == est.frame_count
+    assert est2.solver_flag == est.solver_flag
+    assert (est2.fm.active == est.fm.active).all()
+    if est.prior is not None:
+        np.testing.assert_allclose(est2.prior[0], est.prior[0], atol=0)
+
+    # resumed estimator keeps running
+    cam_lookup = {int(k): f for k, f in zip(sim["cam_idx"], sim["features"])}
+    next_frames = sorted(cam_lookup)[13:15]
+    t = sim["t"]
+    k0 = next_frames[0]
+    prev = sorted(cam_lookup)[12]
+    for k in range(prev + 1, next_frames[-1] + 1):
+        est2.input_imu_leg(t[k], sim["acc"][k], sim["gyr"][k], sim["phi"][k],
+                           sim["dphi"][k], sim["contacts"][k])
+        if k in next_frames:
+            est2.input_image(t[k], cam_lookup[k])
+    assert np.isfinite(est2.p).all()
+
+
+def test_failure_detection_thresholds():
+    est = Estimator(EstimatorConfig())
+    est._last_pose = (np.zeros(3), np.array([1.0, 0, 0, 0]))
+    est.ba[10] = [3.0, 0, 0]      # > 2.5 threshold
+    assert est.failure_detection()
+    est.ba[10] = 0
+    est.bg[10] = [1.5, 0, 0]
+    assert est.failure_detection()
+    est.bg[10] = 0
+    est.p[10] = [6.0, 0, 0]       # jump > 5 m
+    est._last_pose = (np.zeros(3), np.array([1.0, 0, 0, 0]))
+    assert est.failure_detection()
+    est.p[10] = 0
+    est._last_pose = (np.zeros(3), np.array([1.0, 0, 0, 0]))
+    assert not est.failure_detection()
+
+
+def test_solve_gyroscope_bias_recovers_bias():
+    from test_preintegration import build_inputs, PARAMS
+
+    bg_true = jnp.array([0.004, -0.003, 0.002])
+    S = 40
+    d = build_inputs(S=S, dt_s=0.002)
+    # corrupt gyro with a bias; preintegrate at zero bias
+    phi = jnp.tile(jnp.array([0.0, 0.8, -1.6]), (S, 4)).reshape(S, 12)
+    pre = il_preintegrate(d["dt"], d["acc"], d["gyr"] + bg_true, phi,
+                          jnp.zeros((S, 12)), jnp.ones((S, 4)), d["mask"],
+                          jnp.zeros(3), jnp.zeros(3),
+                          jnp.full((4,), 0.21), PARAMS)
+    pres = [pre]
+    qs = [d["q"][0], d["q"][-1]]
+    ps = [d["p"][0], d["p"][-1]]
+    dbg = solve_gyroscope_bias(jnp.stack(qs), pres)
+    # solver returns the correction: bg_new = 0 + dbg ~ bg_true
+    np.testing.assert_allclose(np.asarray(dbg), np.asarray(bg_true), atol=5e-4)
+
+    # gyro+leg joint solve needs physically consistent leg data: use the
+    # pinned-foot scenario (body translating, feet on ground)
+    from test_preintegration import build_leg_inputs
+    dl = build_leg_inputs(S=40)
+    pre2 = il_preintegrate(dl["dt"], dl["acc"], dl["gyr"] + bg_true,
+                           dl["phi"], dl["dphi"], dl["c"], dl["mask"],
+                           jnp.zeros(3), jnp.zeros(3), dl["rho"], PARAMS)
+    qs2 = jnp.stack([dl["q"][0], dl["q"][-1]])
+    ps2 = jnp.stack([dl["p"][0], dl["p"][-1]])
+    dbg2, drho = solve_gyro_leg_bias(qs2, ps2, [pre2])
+    np.testing.assert_allclose(np.asarray(dbg2), np.asarray(bg_true), atol=2e-3)
+    assert np.all(np.abs(np.asarray(drho)) < 0.02)
+
+
+def test_timers():
+    tt = TicToc()
+    assert tt.toc() >= 0
+    tm = Timers()
+    with tm.time("x"):
+        pass
+    assert tm.summary()["x"]["count"] == 1

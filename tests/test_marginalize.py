@@ -1,0 +1,89 @@
+"""Marginalization tests: the eigen-sqrt prior must exactly reproduce the
+Schur complement of the dropped block (reference semantics:
+marginalization_factor.cpp:281-305)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cerberus_tpu import config as C
+from cerberus_tpu.config import EstimatorConfig
+from cerberus_tpu.data import SimConfig, simulate
+from cerberus_tpu.data.window_builder import build_window_from_sim
+from cerberus_tpu.ops import factors as fac
+from cerberus_tpu.ops import marginalize as marg
+
+
+@pytest.fixture(scope="module")
+def problem():
+    sim = simulate(SimConfig(duration=5.0, speed=0.5, seed=3, n_landmarks=150))
+    return build_window_from_sim(sim, EstimatorConfig(), kf_stride=2,
+                                 start_cam=2, F=32)
+
+
+def numpy_schur(H, b, drop):
+    keep = ~drop
+    Hdd = H[np.ix_(drop, drop)]
+    Hkd = H[np.ix_(keep, drop)]
+    Hkk = H[np.ix_(keep, keep)]
+    lam, V = np.linalg.eigh(Hdd)
+    inv = V @ np.diag(np.where(lam > 1e-8, 1 / np.maximum(lam, 1e-8), 0)) @ V.T
+    Hs = Hkk - Hkd @ inv @ Hkd.T
+    bs = b[keep] - Hkd @ inv @ b[drop]
+    return Hs, bs
+
+
+def test_marginalize_old_matches_numpy_schur(problem):
+    data, truth, Fa = problem
+    F = truth.depth.shape[0]
+    pj, pr, valid = marg.marginalize_old(truth, data)
+    assert bool(valid)
+
+    # independent numpy computation of the same sub-problem
+    anchored0 = np.asarray(data.f_start == 0) & np.asarray(data.f_valid)
+    sub = data._replace(
+        interval_valid=data.interval_valid & (jnp.arange(10) == 0),
+        f_valid=data.f_valid & (data.f_start == 0))
+    r, J, _ = fac.linearize(truth, sub)
+    H = np.asarray(J.T @ J)
+    b = np.asarray(J.T @ r)
+    drop = np.zeros(fac.tangent_dim(F), bool)
+    drop[0:19] = True
+    drop[fac.D_DENSE:] = anchored0
+    Hs, bs = numpy_schur(H, b, drop)
+
+    # keep dims inside the dense block (depths were all dropped)
+    keep_dense = np.ones(fac.D_DENSE, bool)
+    keep_dense[0:19] = False
+    # prior (before shift) reconstructs the Schur information:
+    # undo the frame shift by applying the inverse permutation
+    P = np.asarray(marg.shift_permutation())
+    Jd = np.asarray(pj) @ P.T          # unshift: new-labels -> old-labels
+    Hp = Jd.T @ Jd
+    bp = Jd.T @ np.asarray(pr)
+    got_H = Hp[np.ix_(keep_dense, keep_dense)]
+    want_H = Hs[: keep_dense.sum(), : keep_dense.sum()]
+    np.testing.assert_allclose(got_H, want_H, atol=1e-4 * max(1, np.abs(want_H).max()))
+    np.testing.assert_allclose(bp[keep_dense], bs[: keep_dense.sum()],
+                               atol=1e-6 * max(1, np.abs(bs).max()))
+
+
+def test_second_new_prior_reanchors(problem):
+    """After MARGIN_SECOND_NEW the prior must evaluate consistently at its
+    new linearization point."""
+    data, truth, Fa = problem
+    pj0, pr0, _ = marg.marginalize_old(truth, data)
+    lin = truth  # pretend current state is the lin point
+    data2 = data._replace(prior_J=pj0, prior_r=pr0,
+                          prior_valid=jnp.asarray(True),
+                          prior_lin=lin)
+    pj, pr, valid = marg.marginalize_second_new(truth, data2)
+    # evaluated at its own anchor the residual is just pr (finite, bounded)
+    assert np.isfinite(np.asarray(pr)).all()
+    assert np.isfinite(np.asarray(pj)).all()
+    # dropped pose columns (frame 9 pre-shift had nothing; frame 10 maps to 9)
+    i = C.WINDOW_SIZE - 1
+    # after shifting, the new frame-10 columns must be empty
+    cols = np.asarray(pj)[:, fac.PER_FRAME * C.WINDOW_SIZE:
+                          fac.PER_FRAME * C.WINDOW_SIZE + 19]
+    np.testing.assert_allclose(cols, 0, atol=1e-12)
