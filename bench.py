@@ -55,16 +55,23 @@ def main():
                          data)
 
     opts = SolveOptions(max_iters=12)
-    solve = jax.jit(jax.vmap(lambda s, d: solve_window(s, d, opts)[0]))
+    # return a scalar so timing includes a forced value fetch: on relayed/async
+    # backends block_until_ready alone does NOT guarantee execution finished
+    solve = jax.jit(jax.vmap(lambda s, d: solve_window(s, d, opts)[0].p[0, 0]))
 
-    out = solve(states, datas)
-    jax.block_until_ready(out)
+    import jax.numpy as _jnp
+
+    def run_once(sts, dts):
+        return float(_jnp.sum(solve(sts, dts)))
+
+    run_once(states, datas)
     reps = 10
     times = []
-    for _ in range(reps):
+    for i in range(reps):
+        # vary input slightly so no caching layer can elide the work
+        sts = states._replace(p=states.p + 1e-7 * i)
         t0 = time.time()
-        out = solve(states, datas)
-        jax.block_until_ready(out)
+        run_once(sts, datas)
         times.append(time.time() - t0)
     dt = float(np.median(times))
     wps = B / dt
@@ -73,13 +80,12 @@ def main():
     # is 0.1 s/solve, yaml max_solver_time)
     one_states = jax.tree.map(lambda x: x[:1], states)
     one_datas = jax.tree.map(lambda x: x[:1], datas)
-    out = solve(one_states, one_datas)
-    jax.block_until_ready(out)
+    run_once(one_states, one_datas)
     lat = []
-    for _ in range(reps):
+    for i in range(reps):
+        sts = one_states._replace(p=one_states.p + 1e-7 * i)
         t0 = time.time()
-        out = solve(one_states, one_datas)
-        jax.block_until_ready(out)
+        run_once(sts, one_datas)
         lat.append(time.time() - t0)
     lat_ms = float(np.median(lat)) * 1000
 

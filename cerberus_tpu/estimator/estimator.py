@@ -136,6 +136,7 @@ class Estimator:
         # IMU-rate fast prediction state (reference: fastPredictIMU)
         self.latest = None
         self._last_pose = None
+        self.keyframe_callback = None  # fn(t, p(3,), q(4,), feature_ids)
         self.stats = {"solves": 0, "solve_time": 0.0, "keyframes": 0}
 
     # ------------------------------------------------------------------
@@ -446,6 +447,14 @@ class Estimator:
             lin = _shift_state(st)
             if bool(valid):
                 self.prior = (pj, pr, lin)  # device-resident
+            if self.keyframe_callback is not None:
+                # emit the frame leaving the window: final refined pose +
+                # its observed feature ids (reference: pubKeyframe feeds the
+                # external loop_fusion, visualization.cpp:345-398)
+                ids = [int(self.fm.ids[s]) for s in np.nonzero(
+                    self.fm.active & self.fm.obs[:, 0])[0]]
+                self.keyframe_callback(self.headers[0], self.p[0].copy(),
+                                       self.q[0].copy(), ids)
             self._slide_old()
         else:
             if self.prior is not None:

@@ -29,10 +29,9 @@ def default_free_mask(optimize_leg_bias=True, optimize_extrinsic=False,
     """(222,) bool free mask (reference: estimator.cpp:1065-1105
     SetParameterBlockConstant logic)."""
     m = np.zeros((fac.D_DENSE,), bool)
-    for i in range(C.NUM_FRAMES):
-        base = fac.PER_FRAME * i
-        m[base: base + 15] = True                  # pose + speedbias
-        m[base + 15: base + 19] = optimize_leg_bias
+    m[fac.POSE_OFF: fac.POSE_OFF + 6 * C.NUM_FRAMES] = True
+    m[fac.SB_OFF: fac.SB_OFF + 9 * C.NUM_FRAMES] = True
+    m[fac.RHO_OFF: fac.RHO_OFF + 4 * C.NUM_FRAMES] = optimize_leg_bias
     m[fac.EX0_OFF: fac.EX0_OFF + 12] = optimize_extrinsic
     m[fac.TD_OFF] = optimize_td
     return m

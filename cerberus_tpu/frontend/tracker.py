@@ -44,6 +44,24 @@ class PinholeCamera:
         return out.reshape(-1, 2)
 
 
+class FisheyeCamera:
+    """Equidistant (Kannala-Brandt) fisheye camera (camodocal EQUIDISTANT
+    equivalent, used by some VINS-Fusion configs)."""
+
+    def __init__(self, fx, fy, cx, cy, dist=(0, 0, 0, 0), size=(640, 480)):
+        self.K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+        self.dist = np.asarray(dist, float)
+        self.size = size
+
+    def undistort_normalize(self, pts: np.ndarray) -> np.ndarray:
+        if len(pts) == 0:
+            return pts.reshape(0, 2)
+        pts = pts.reshape(-1, 1, 2).astype(np.float64)
+        out = cv2.fisheye.undistortPoints(pts, self.K,
+                                          self.dist.reshape(4, 1))
+        return out.reshape(-1, 2)
+
+
 class FeatureTracker:
     def __init__(self, cam0: PinholeCamera, cam1: PinholeCamera | None = None,
                  max_cnt=120, min_dist=10, flow_back=True, use_clahe=True):

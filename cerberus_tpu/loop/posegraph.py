@@ -1,0 +1,182 @@
+"""4-DoF pose-graph optimization (loop closure back-end).
+
+Capability equivalent of the external loop_fusion node the reference launches
+alongside (reference: launch/hardware_a1/hardware_a1_vilo.launch:8-9,
+consuming the keyframe pose/point topics published by visualization.cpp:
+345-398). VINS-Fusion's pose graph optimizes 4 DoF (position + yaw) because
+roll/pitch are observable from gravity; we keep the same design.
+
+TPU-native: fixed-capacity node/edge pools with masks, Jacobians via small
+per-edge jacfwd, one-hot (scatter-free) normal-equation assembly on the MXU,
+damped GN iterations inside one jit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _rot_z(yaw):
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    zero = jnp.zeros_like(yaw)
+    one = jnp.ones_like(yaw)
+    return jnp.stack([c, -s, zero, s, c, zero, zero, zero, one],
+                     axis=-1).reshape(yaw.shape + (3, 3))
+
+
+def _edge_residual(delta, p, yaw, i, j, rel_p, rel_yaw):
+    """(4,) residual of one relative-pose edge under an 8-dim perturbation
+    [dp_i(3), dyaw_i, dp_j(3), dyaw_j]."""
+    p_i = p[i] + delta[0:3]
+    yaw_i = yaw[i] + delta[3]
+    p_j = p[j] + delta[4:7]
+    yaw_j = yaw[j] + delta[7]
+    Ri = _rot_z(yaw_i)
+    r_p = Ri.T @ (p_j - p_i) - rel_p
+    dy = yaw_j - yaw_i - rel_yaw
+    # wrap to (-pi, pi]
+    dy = jnp.arctan2(jnp.sin(dy), jnp.cos(dy))
+    return jnp.concatenate([r_p, dy[None]])
+
+
+def optimize_pose_graph(p, yaw, e_i, e_j, rel_p, rel_yaw, e_w, e_mask,
+                        iters: int = 8, lam: float = 1e-6):
+    """Gauss-Newton over (p (N,3), yaw (N,)); node 0 fixed (gauge).
+
+    e_i/e_j: (E,) int32 node ids; rel_p (E,3) measured p_j-p_i in frame i;
+    rel_yaw (E,); e_w (E,) edge weights (sqrt-information scalar);
+    e_mask (E,) bool. Returns optimized (p, yaw)."""
+    N = p.shape[0]
+    E = e_i.shape[0]
+    dtype = p.dtype
+    dim = 4 * N
+
+    def body(_, carry):
+        p, yaw = carry
+        zero8 = jnp.zeros((8,), dtype)
+
+        def edge_rJ(i, j, rp, ry, w, m):
+            r = _edge_residual(zero8, p, yaw, i, j, rp, ry)
+            J = jax.jacfwd(_edge_residual)(zero8, p, yaw, i, j, rp, ry)
+            s = jnp.where(m, w, 0.0)
+            return r * s, J * s
+
+        r_e, J_e = jax.vmap(edge_rJ)(e_i, e_j, rel_p, rel_yaw, e_w, e_mask)
+        # widen: one-hot over nodes, scatter-free
+        Ei = jax.nn.one_hot(e_i, N, dtype=dtype)   # (E, N)
+        Ej = jax.nn.one_hot(e_j, N, dtype=dtype)
+        A = (jnp.einsum("eab,en->eanb", J_e[..., 0:4], Ei)
+             + jnp.einsum("eab,en->eanb", J_e[..., 4:8], Ej)).reshape(E, 4, dim)
+        A2 = A.reshape(E * 4, dim)
+        H = A2.T @ A2
+        b = A2.T @ r_e.reshape(-1)
+        # gauge: fix node 0 (zero out its dims, unit diagonal)
+        mask = jnp.ones((dim,), dtype).at[0:4].set(0.0)
+        H = H * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+        b = b * mask
+        Hd = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-8))
+        dx = -jnp.linalg.solve(Hd, b)
+        dx = dx.reshape(N, 4)
+        return p + dx[:, 0:3], yaw + dx[:, 3]
+
+    p, yaw = jax.lax.fori_loop(0, iters, body, (p, yaw))
+    return p, yaw
+
+
+class PoseGraph:
+    """Host-side keyframe database + loop detection + batched optimization.
+
+    Keyframes carry the ids of their observed features; loop candidates are
+    proposed by feature-id overlap (works with any front-end that provides
+    stable ids; a place-recognition front-end can feed `add_loop_edge`
+    directly, like loop_fusion's BoW does)."""
+
+    def __init__(self, capacity_nodes=512, capacity_edges=2048,
+                 min_overlap=20, min_gap=30, dtype=jnp.float64):
+        self.Nc, self.Ec = capacity_nodes, capacity_edges
+        self.dtype = dtype
+        self.n = 0
+        self.p = np.zeros((capacity_nodes, 3))
+        self.yaw = np.zeros(capacity_nodes)
+        self.feat_ids: list[set] = []
+        self.edges = []   # (i, j, rel_p, rel_yaw, weight)
+        self.min_overlap = min_overlap
+        self.min_gap = min_gap
+        self._opt = jax.jit(optimize_pose_graph, static_argnames=("iters",))
+
+    def add_keyframe(self, p, yaw, feature_ids=None) -> int:
+        """Append a keyframe; creates the sequential edge automatically.
+        Returns node id (or -1 when full)."""
+        if self.n >= self.Nc:
+            return -1
+        k = self.n
+        self.p[k] = p
+        self.yaw[k] = yaw
+        self.feat_ids.append(set(feature_ids or ()))
+        if k > 0:
+            Ri = _np_rot_z(self.yaw[k - 1])
+            rel_p = Ri.T @ (self.p[k] - self.p[k - 1])
+            rel_yaw = self.yaw[k] - self.yaw[k - 1]
+            self.edges.append((k - 1, k, rel_p, rel_yaw, 10.0))
+        self.n += 1
+        # loop detection by feature overlap
+        loop = self.detect_loop(k)
+        if loop is not None:
+            self.add_loop_edge(loop, k)
+        return k
+
+    def detect_loop(self, k: int):
+        ids_k = self.feat_ids[k]
+        if not ids_k:
+            return None
+        best, best_ov = None, 0
+        for i in range(0, k - self.min_gap):
+            ov = len(ids_k & self.feat_ids[i])
+            if ov > best_ov:
+                best, best_ov = i, ov
+        return best if best_ov >= self.min_overlap else None
+
+    def add_loop_edge(self, i: int, j: int, rel_p=None, rel_yaw=None,
+                      weight: float = 5.0):
+        """Add a loop constraint. Without an explicit measurement, the
+        current relative estimate is used (appropriate when node poses come
+        from a drift-corrected source like feature re-triangulation)."""
+        if rel_p is None:
+            Ri = _np_rot_z(self.yaw[i])
+            rel_p = Ri.T @ (self.p[j] - self.p[i])
+            rel_yaw = self.yaw[j] - self.yaw[i]
+        self.edges.append((int(i), int(j), np.asarray(rel_p), float(rel_yaw),
+                           weight))
+
+    def optimize(self, iters: int = 8):
+        """Run the device GN over the padded pools; updates node states."""
+        if self.n < 2 or not self.edges:
+            return
+        N = self.Nc
+        E = self.Ec
+        e_i = np.zeros(E, np.int32)
+        e_j = np.zeros(E, np.int32)
+        rel_p = np.zeros((E, 3))
+        rel_yaw = np.zeros(E)
+        e_w = np.zeros(E)
+        e_mask = np.zeros(E, bool)
+        for n, (i, j, rp, ry, w) in enumerate(self.edges[:E]):
+            e_i[n], e_j[n] = i, j
+            rel_p[n] = rp
+            rel_yaw[n] = ry
+            e_w[n] = w
+            e_mask[n] = True
+        f = lambda x: jnp.asarray(x, self.dtype)
+        p, yaw = self._opt(f(self.p), f(self.yaw), jnp.asarray(e_i),
+                           jnp.asarray(e_j), f(rel_p), f(rel_yaw), f(e_w),
+                           jnp.asarray(e_mask), iters=iters)
+        self.p, self.yaw = np.array(p), np.array(yaw)
+
+
+def _np_rot_z(yaw):
+    c, s = np.cos(yaw), np.sin(yaw)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])

@@ -9,9 +9,13 @@ Gauss-Newton/LM core (ops/solver.py). No per-factor hand Jacobians: AD at the
 manifold tangent reproduces the reference's analytic ones (verified in
 tests/test_factors.py), which is both simpler and exactly consistent.
 
-Tangent layout (dimension D = 222):
-  frame i in 0..10 : [dp(3), dtheta(3), dv(3), dba(3), dbg(3), drho(4)] at 19*i
-  ex cam c in 0..1 : [dtic(3), dtheta_ic(3)] at 209 + 6*c
+Tangent layout (dimension D = 222), SEGMENT-major so every factor type's
+Hessian contribution lands in statically-sliceable blocks (scatter-free
+assembly on TPU, see ops/structured.py):
+  poses            : [dp(3), dtheta(3)] of frame i at 6*i            (0..65)
+  speed/bias       : [dv(3), dba(3), dbg(3)] of frame i at 66 + 9*i  (66..164)
+  leg bias         : drho(4) of frame i at 165 + 4*i                 (165..208)
+  ex cam c in 0..1 : [dtic(3), dtheta_ic(3)] at 209 + 6*c            (209..220)
   td               : scalar at 221
   feature depths   : F extra dims appended after D (inverse depths)
 
@@ -34,10 +38,23 @@ from cerberus_tpu import config as C
 from cerberus_tpu.utils import lie
 
 NF = C.NUM_FRAMES            # 11
-PER_FRAME = 19               # tangent dims per frame
-D_DENSE = PER_FRAME * NF + 6 * 2 + 1   # 222
-EX0_OFF = PER_FRAME * NF     # 209
+PER_FRAME = 19               # tangent dims per frame (6 pose + 9 sb + 4 rho)
+POSE_OFF = 0                 # poses: 6 dims x 11 frames
+SB_OFF = 6 * NF              # 66: speed/bias: 9 dims x 11 frames
+RHO_OFF = SB_OFF + 9 * NF    # 165: leg bias: 4 dims x 11 frames
+EX0_OFF = RHO_OFF + 4 * NF   # 209
 TD_OFF = EX0_OFF + 12        # 221
+D_DENSE = TD_OFF + 1         # 222
+
+
+def frame_tangent_indices(i: int):
+    """Global tangent indices of frame i's 19 dims (pose, sb, rho)."""
+    import numpy as _np
+    return _np.concatenate([
+        _np.arange(POSE_OFF + 6 * i, POSE_OFF + 6 * i + 6),
+        _np.arange(SB_OFF + 9 * i, SB_OFF + 9 * i + 9),
+        _np.arange(RHO_OFF + 4 * i, RHO_OFF + 4 * i + 4),
+    ])
 PROJ_SQRT_INFO = C.FOCAL_LENGTH / 1.5  # reference: estimator.cpp:124-126
 HUBER_DELTA = 1.0            # reference: estimator.cpp:1062
 
@@ -119,15 +136,17 @@ def tangent_dim(F: int) -> int:
 
 def retract(s: WindowState, delta: jax.Array) -> WindowState:
     F = s.depth.shape[0]
-    fr = delta[: PER_FRAME * NF].reshape(NF, PER_FRAME)
+    pose = delta[POSE_OFF:POSE_OFF + 6 * NF].reshape(NF, 6)
+    sb = delta[SB_OFF:SB_OFF + 9 * NF].reshape(NF, 9)
+    rho = delta[RHO_OFF:RHO_OFF + 4 * NF].reshape(NF, 4)
     ex = delta[EX0_OFF:EX0_OFF + 12].reshape(2, 6)
     return WindowState(
-        p=s.p + fr[:, 0:3],
-        q=lie.quat_normalize(lie.quat_mul(s.q, lie.delta_q(fr[:, 3:6]))),
-        v=s.v + fr[:, 6:9],
-        ba=s.ba + fr[:, 9:12],
-        bg=s.bg + fr[:, 12:15],
-        rho=s.rho + fr[:, 15:19],
+        p=s.p + pose[:, 0:3],
+        q=lie.quat_normalize(lie.quat_mul(s.q, lie.delta_q(pose[:, 3:6]))),
+        v=s.v + sb[:, 0:3],
+        ba=s.ba + sb[:, 3:6],
+        bg=s.bg + sb[:, 6:9],
+        rho=s.rho + rho,
         tic=s.tic + ex[:, 0:3],
         qic=lie.quat_normalize(lie.quat_mul(s.qic, lie.delta_q(ex[:, 3:6]))),
         td=s.td + delta[TD_OFF],
@@ -139,12 +158,13 @@ def local_diff(s: WindowState, lin: WindowState) -> jax.Array:
     """Dense-tangent x [-] lin (quaternion-aware), the prior's dx
     (reference: marginalization_factor.cpp:361-378)."""
     dth = 2.0 * lie.quat_mul(lie.quat_conj(lin.q), s.q)[..., 1:]
-    fr = jnp.concatenate(
-        [s.p - lin.p, dth, s.v - lin.v, s.ba - lin.ba, s.bg - lin.bg,
-         s.rho - lin.rho], axis=-1).reshape(-1)
+    pose = jnp.concatenate([s.p - lin.p, dth], axis=-1).reshape(-1)
+    sb = jnp.concatenate([s.v - lin.v, s.ba - lin.ba, s.bg - lin.bg],
+                         axis=-1).reshape(-1)
+    rho = (s.rho - lin.rho).reshape(-1)
     dth_ic = 2.0 * lie.quat_mul(lie.quat_conj(lin.qic), s.qic)[..., 1:]
     ex = jnp.concatenate([s.tic - lin.tic, dth_ic], axis=-1).reshape(-1)
-    return jnp.concatenate([fr, ex, (s.td - lin.td)[None]])
+    return jnp.concatenate([pose, sb, rho, ex, (s.td - lin.td)[None]])
 
 
 # ---------------------------------------------------------------------------

@@ -57,8 +57,9 @@ def _schur_drop(H, b, drop_mask):
     return H_new, b_new
 
 
-def frame_slice(i):
-    return slice(fac.PER_FRAME * i, fac.PER_FRAME * (i + 1))
+def frame_indices(i):
+    """Global tangent indices of frame i (segment-major layout)."""
+    return jnp.asarray(fac.frame_tangent_indices(i))
 
 
 def marginalize_old(state: fac.WindowState, data: fac.WindowData):
@@ -83,7 +84,7 @@ def marginalize_old(state: fac.WindowState, data: fac.WindowData):
     b = J.T @ r
 
     drop = jnp.zeros((fac.tangent_dim(F),), bool)
-    drop = drop.at[frame_slice(0)].set(True)
+    drop = drop.at[frame_indices(0)].set(True)
     drop = drop.at[fac.D_DENSE:].set(anchored0 & data.f_valid)
     H2, b2 = _schur_drop(H, b, drop)
 
@@ -113,39 +114,42 @@ def marginalize_second_new(state: fac.WindowState, data: fac.WindowData):
 
     i = C.WINDOW_SIZE - 1
     drop = jnp.zeros((fac.D_DENSE,), bool)
-    drop = drop.at[fac.PER_FRAME * i: fac.PER_FRAME * i + 6].set(True)
+    drop = drop.at[fac.POSE_OFF + 6 * i: fac.POSE_OFF + 6 * i + 6].set(True)
     H2, b2 = _schur_drop(H, b, drop)
     prior_J, prior_r = _prior_from_Hb(H2, b2, dtype)
 
     perm = shift_second_new_permutation()
     prior_J = prior_J @ perm.astype(dtype)
     # the prior only needs updating if it touched the dropped pose
-    touched = jnp.any(jnp.abs(data.prior_J[:, fac.PER_FRAME * i:
-                                           fac.PER_FRAME * i + 6]) > 0)
+    touched = jnp.any(jnp.abs(data.prior_J[:, fac.POSE_OFF + 6 * i:
+                                           fac.POSE_OFF + 6 * i + 6]) > 0)
     return prior_J, prior_r, data.prior_valid & touched
 
 
-def shift_permutation():
-    """(222, 222) matrix P with (J P) relabeling old frame i -> new i-1.
+def _frame_relabel_permutation(mapping):
+    """(222, 222) P with (J P) applying old-frame -> new-frame relabeling.
 
-    New-layout tangent x_new relates to old by x_old[frame i] = x_new[frame
-    i-1] for i >= 1; frame 0 columns vanish (just marginalized); ex/td map
-    identically. The new frame 10 has no prior columns."""
-    P = jnp.zeros((fac.D_DENSE, fac.D_DENSE))
-    for i in range(1, C.NUM_FRAMES):
-        src = frame_slice(i)
-        dst = frame_slice(i - 1)
-        P = P.at[src, dst].set(jnp.eye(fac.PER_FRAME))
-    P = P.at[fac.EX0_OFF:, fac.EX0_OFF:].set(jnp.eye(13))
-    return P
+    mapping: dict old_frame -> new_frame; unmapped old frames vanish.
+    Ex/td columns map identically."""
+    import numpy as np
+
+    P = np.zeros((fac.D_DENSE, fac.D_DENSE))
+    for old, new in mapping.items():
+        P[np.ix_(fac.frame_tangent_indices(old),
+                 fac.frame_tangent_indices(new))] = np.eye(fac.PER_FRAME)
+    P[fac.EX0_OFF:, fac.EX0_OFF:] = np.eye(13)
+    return jnp.asarray(P)
+
+
+def shift_permutation():
+    """Relabel old frame i -> new i-1 (MARGIN_OLD slide); frame-0 columns
+    vanish (just marginalized); the new frame 10 has no prior columns."""
+    return _frame_relabel_permutation(
+        {i: i - 1 for i in range(1, C.NUM_FRAMES)})
 
 
 def shift_second_new_permutation():
-    """(222, 222): frame 10 -> 9, frames 0..8 identity, frame 9 vanishes."""
-    P = jnp.zeros((fac.D_DENSE, fac.D_DENSE))
-    for i in range(0, C.WINDOW_SIZE - 1):
-        P = P.at[frame_slice(i), frame_slice(i)].set(jnp.eye(fac.PER_FRAME))
-    P = P.at[frame_slice(C.WINDOW_SIZE),
-             frame_slice(C.WINDOW_SIZE - 1)].set(jnp.eye(fac.PER_FRAME))
-    P = P.at[fac.EX0_OFF:, fac.EX0_OFF:].set(jnp.eye(13))
-    return P
+    """Frame 10 -> 9, frames 0..8 identity, frame 9 vanishes."""
+    m = {i: i for i in range(C.WINDOW_SIZE - 1)}
+    m[C.WINDOW_SIZE] = C.WINDOW_SIZE - 1
+    return _frame_relabel_permutation(m)

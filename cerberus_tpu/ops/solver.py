@@ -29,6 +29,8 @@ class SolveOptions(NamedTuple):
     lam_min: float = 1e-12
     lam_max: float = 1e8
     diag_floor: float = 1e-8
+    structured: bool = True       # factor-sparse H assembly (ops/structured.py)
+                                  # False = dense jacfwd J then J^T J
 
 
 class SolveInfo(NamedTuple):
@@ -63,9 +65,13 @@ def solve_window(state: fac.WindowState, data: fac.WindowData,
 
     def body(_, carry):
         st, lam, cost, acc = carry
-        r, J, _ = fac.linearize(st, data)
-        H = J.T @ J
-        b = J.T @ r
+        if opts.structured:
+            from cerberus_tpu.ops.structured import build_normal_equations
+            H, b, _ = build_normal_equations(st, data)
+        else:
+            r, J, _ = fac.linearize(st, data)
+            H = J.T @ J
+            b = J.T @ r
         dx = _damped_solve(H, b, lam, opts)
         cand = fac.retract(st, dx)
         new_cost = cost_of(cand)

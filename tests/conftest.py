@@ -28,3 +28,11 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Cap process memory: the suite jit-compiles many large programs; without
+    this, accumulated executables/buffers eventually segfault CPU XLA."""
+    yield
+    jax.clear_caches()

@@ -48,13 +48,13 @@ def test_marginalize_old_matches_numpy_schur(problem):
     H = np.asarray(J.T @ J)
     b = np.asarray(J.T @ r)
     drop = np.zeros(fac.tangent_dim(F), bool)
-    drop[0:19] = True
+    drop[fac.frame_tangent_indices(0)] = True
     drop[fac.D_DENSE:] = anchored0
     Hs, bs = numpy_schur(H, b, drop)
 
     # keep dims inside the dense block (depths were all dropped)
     keep_dense = np.ones(fac.D_DENSE, bool)
-    keep_dense[0:19] = False
+    keep_dense[fac.frame_tangent_indices(0)] = False
     # prior (before shift) reconstructs the Schur information:
     # undo the frame shift by applying the inverse permutation
     P = np.asarray(marg.shift_permutation())
@@ -81,9 +81,6 @@ def test_second_new_prior_reanchors(problem):
     # evaluated at its own anchor the residual is just pr (finite, bounded)
     assert np.isfinite(np.asarray(pr)).all()
     assert np.isfinite(np.asarray(pj)).all()
-    # dropped pose columns (frame 9 pre-shift had nothing; frame 10 maps to 9)
-    i = C.WINDOW_SIZE - 1
     # after shifting, the new frame-10 columns must be empty
-    cols = np.asarray(pj)[:, fac.PER_FRAME * C.WINDOW_SIZE:
-                          fac.PER_FRAME * C.WINDOW_SIZE + 19]
+    cols = np.asarray(pj)[:, fac.frame_tangent_indices(C.WINDOW_SIZE)]
     np.testing.assert_allclose(cols, 0, atol=1e-12)

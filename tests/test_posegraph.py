@@ -1,0 +1,73 @@
+"""Pose-graph loop-closure tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from cerberus_tpu.loop import PoseGraph, optimize_pose_graph
+from cerberus_tpu.loop.posegraph import _np_rot_z
+
+
+def make_square_loop(n_per_side=10, drift_per_step=0.01, seed=0):
+    """Ground-truth square trajectory; odometry with accumulating drift."""
+    rng = np.random.default_rng(seed)
+    gt_p, gt_yaw = [np.zeros(3)], [0.0]
+    for side in range(4):
+        for _ in range(n_per_side):
+            yaw = side * np.pi / 2
+            step = _np_rot_z(yaw) @ np.array([0.5, 0, 0])
+            gt_p.append(gt_p[-1] + step)
+            gt_yaw.append(yaw)
+    gt_p = np.array(gt_p)
+    gt_yaw = np.array(gt_yaw)
+    N = len(gt_p)
+
+    # drifting odometry estimates
+    est_p = [gt_p[0]]
+    est_yaw = [gt_yaw[0]]
+    rels = []
+    for k in range(1, N):
+        Ri = _np_rot_z(gt_yaw[k - 1])
+        rel_p = Ri.T @ (gt_p[k] - gt_p[k - 1]) + rng.normal(size=3) * drift_per_step
+        rel_yaw = gt_yaw[k] - gt_yaw[k - 1] + rng.normal() * drift_per_step
+        rels.append((rel_p, rel_yaw))
+        Re = _np_rot_z(est_yaw[-1])
+        est_p.append(est_p[-1] + Re @ rel_p)
+        est_yaw.append(est_yaw[-1] + rel_yaw)
+    return gt_p, gt_yaw, np.array(est_p), np.array(est_yaw), rels
+
+
+def test_loop_closure_reduces_drift():
+    gt_p, gt_yaw, est_p, est_yaw, rels = make_square_loop()
+    N = len(gt_p)
+    # edges: sequential odometry + one loop edge closing the square
+    e_i = np.array([k for k in range(N - 1)] + [0], np.int32)
+    e_j = np.array([k + 1 for k in range(N - 1)] + [N - 1], np.int32)
+    rel_p = np.array([r[0] for r in rels] + [gt_p[N - 1] - gt_p[0]])
+    rel_yaw = np.array([r[1] for r in rels] + [gt_yaw[N - 1] - gt_yaw[0]])
+    e_w = np.concatenate([np.full(N - 1, 1.0), [20.0]])
+    e_mask = np.ones(N, bool)
+
+    drift_before = np.linalg.norm(est_p[-1] - gt_p[-1])
+    p_opt, yaw_opt = optimize_pose_graph(
+        jnp.asarray(est_p), jnp.asarray(est_yaw), jnp.asarray(e_i),
+        jnp.asarray(e_j), jnp.asarray(rel_p), jnp.asarray(rel_yaw),
+        jnp.asarray(e_w), jnp.asarray(e_mask), iters=10)
+    drift_after = np.linalg.norm(np.asarray(p_opt)[-1] - gt_p[-1])
+    assert drift_after < 0.35 * drift_before, (drift_before, drift_after)
+    # gauge: node 0 unchanged
+    np.testing.assert_allclose(np.asarray(p_opt)[0], est_p[0], atol=1e-9)
+
+
+def test_posegraph_database_detects_loops():
+    pg = PoseGraph(min_overlap=5, min_gap=8)
+    # walk out and back; features at each end shared
+    ids_home = set(range(100, 130))
+    for k in range(20):
+        ids = ids_home if k < 3 else set(range(1000 + 40 * k, 1000 + 40 * k + 30))
+        pg.add_keyframe(np.array([0.5 * k, 0, 0]), 0.0, ids)
+    n_edges_before = len(pg.edges)
+    # revisit home features -> loop edge to an early keyframe
+    pg.add_keyframe(np.array([10.5, 0.3, 0]), 0.0, ids_home)
+    assert len(pg.edges) == n_edges_before + 2  # sequential + loop
+    pg.optimize(iters=4)
+    assert np.isfinite(pg.p[: pg.n]).all()
