@@ -221,6 +221,18 @@ def simulate(cfg: SimConfig, est_cfg: EstimatorConfig | None = None) -> dict:
             phi[k, 3*j:3*j+3] = qj
             q_prev[j] = qj
     dphi = np.gradient(phi, dt, axis=0)
+    # central differences smear the velocity discontinuity at stance/swing
+    # transitions across the boundary samples, which biases the leg-odometry
+    # velocity exactly when the contact flag is active — recompute one-sided
+    # differences within each contact phase
+    for j in range(4):
+        trans = np.nonzero(np.diff(contacts[:, j]) != 0)[0]
+        for k in trans:
+            cols = slice(3 * j, 3 * j + 3)
+            if k >= 1:
+                dphi[k, cols] = (phi[k, cols] - phi[k - 1, cols]) / dt
+            if k + 2 < N:
+                dphi[k + 1, cols] = (phi[k + 2, cols] - phi[k + 1, cols]) / dt
     phi_meas = phi + rng.normal(size=phi.shape) * cfg.joint_noise
     dphi_meas = dphi + rng.normal(size=dphi.shape) * cfg.djoint_noise
 

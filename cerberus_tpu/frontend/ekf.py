@@ -195,9 +195,14 @@ class LeggedEKF:
     def __init__(self, cfg: EstimatorConfig | None = None, filter_window=10):
         self.cfg = cfg or EstimatorConfig()
         self.params = EKFParams.from_config(self.cfg)
-        self._step = jax.jit(lambda s, dt, acc, gyr, phi, dphi, ff:
-                             ekf_step(s, dt, acc, gyr, phi, dphi, ff,
-                                      self.params))
+
+        def _step_hp(s, dt, acc, gyr, phi, dphi, ff):
+            # TPU f32 matmuls default to bf16 passes; the recursive P update
+            # goes indefinite (NaN) at that precision — force full f32
+            with jax.default_matmul_precision("highest"):
+                return ekf_step(s, dt, acc, gyr, phi, dphi, ff, self.params)
+
+        self._step = jax.jit(_step_hp)
         self.state: EKFState | None = None
         self.filt_acc = MovingWindowFilter(filter_window, 3)
         self.filt_gyr = MovingWindowFilter(filter_window, 3)

@@ -31,6 +31,8 @@ class SolveOptions(NamedTuple):
     diag_floor: float = 1e-8
     structured: bool = True       # factor-sparse H assembly (ops/structured.py)
                                   # False = dense jacfwd J then J^T J
+    function_tolerance: float = 1e-6  # early stop on relative cost decrease
+                                      # (Ceres function_tolerance semantics)
 
 
 class SolveInfo(NamedTuple):
@@ -63,8 +65,12 @@ def solve_window(state: fac.WindowState, data: fac.WindowData,
 
     cost0 = cost_of(state)
 
-    def body(_, carry):
-        st, lam, cost, acc = carry
+    def cond(carry):
+        st, lam, cost, acc, it, done = carry
+        return (it < opts.max_iters) & jnp.logical_not(done)
+
+    def body(carry):
+        st, lam, cost, acc, it, done = carry
         if opts.structured:
             from cerberus_tpu.ops.structured import build_normal_equations
             H, b, _ = build_normal_equations(st, data)
@@ -76,15 +82,18 @@ def solve_window(state: fac.WindowState, data: fac.WindowData,
         cand = fac.retract(st, dx)
         new_cost = cost_of(cand)
         ok = new_cost < cost
+        # converged: an accepted step improved cost by < tol * cost
+        done2 = ok & (cost - new_cost <= opts.function_tolerance * cost)
         st2 = jax.tree.map(lambda a, b_: jnp.where(ok, a, b_), cand, st)
         lam2 = jnp.where(ok, jnp.maximum(lam / opts.lam_down, opts.lam_min),
                          jnp.minimum(lam * opts.lam_up, opts.lam_max))
         cost2 = jnp.where(ok, new_cost, cost)
-        return st2, lam2, cost2, acc + ok.astype(jnp.int32)
+        return st2, lam2, cost2, acc + ok.astype(jnp.int32), it + 1, done2
 
     lam = jnp.asarray(opts.lam0, state.p.dtype)
-    st, lam, cost, acc = jax.lax.fori_loop(
-        0, opts.max_iters, body, (state, lam, cost0, jnp.zeros((), jnp.int32)))
+    st, lam, cost, acc, it, _ = jax.lax.while_loop(
+        cond, body, (state, lam, cost0, jnp.zeros((), jnp.int32),
+                     jnp.zeros((), jnp.int32), jnp.asarray(False)))
     st = reanchor(state, st)
     return st, SolveInfo(cost0=cost0, cost=cost, lam=lam, accepted=acc)
 

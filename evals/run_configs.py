@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Run the five BASELINE.json evaluation configurations and emit JSON.
+
+  1. IMU + leg-kinematics EKF only            (bring-up target)
+  2. IMU + contact-preintegration window, no vision
+  3. Full VILO: stereo + IMU + leg factors
+  4. Online kinematic calibration (rho recovery from a perturbed true value)
+  5. Fleet-scale batched VILO (perturbed windows, sharded over the mesh)
+
+Usage: python evals/run_configs.py [--duration 8] [--out CONFIG_RESULTS.json]
+CPU f64 by default when run off-TPU; f32 on TPU.
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--duration", type=float, default=8.0)
+    ap.add_argument("--out", default="CONFIG_RESULTS.json")
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    dtype = jnp.float32 if on_tpu else jnp.float64
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)
+
+    from cerberus_tpu.config import EstimatorConfig
+    from cerberus_tpu.data import SimConfig, simulate
+    from cerberus_tpu.data.replay import replay, score
+    from cerberus_tpu.estimator.estimator import Estimator
+    from cerberus_tpu.frontend import LeggedEKF
+
+    want = set(int(c) for c in args.configs.split(","))
+    results = {}
+    cfg = EstimatorConfig()
+
+    if 1 in want:
+        sim = simulate(SimConfig(duration=args.duration, speed=0.4, seed=21))
+        ekf = LeggedEKF(cfg, filter_window=4)
+        ekf.init_filter(sim["t"][0], sim["acc"][0], sim["gyr"][0], sim["phi"][0])
+        ps = []
+        t0 = time.time()
+        for k in range(1, len(sim["t"])):
+            ekf.update_filter(sim["t"][k], sim["acc"][k], sim["gyr"][k],
+                              sim["phi"][k], dphi=sim["dphi"][k],
+                              foot_force=sim["foot_forces"][k])
+            ps.append(ekf.get_state()[0:3])
+        ps = np.array(ps)
+        gt = sim["p"][1:len(ps) + 1] - sim["p"][0]
+        # height is ground-referenced in the EKF; compare planar
+        m = score(ps[:, :2], gt[:, :2])
+        results["1_ekf_only"] = dict(drift_pct=m["drift_pct"],
+                                     ate_rmse=m["ate_rmse"],
+                                     distance=m["distance"],
+                                     wall_s=round(time.time() - t0, 1))
+        print("config 1:", results["1_ekf_only"], flush=True)
+
+    if 2 in want:
+        sim = simulate(SimConfig(duration=args.duration, speed=0.5, seed=22))
+        est = Estimator(cfg, dtype=dtype)
+        # no vision: empty feature dicts
+        sim2 = dict(sim)
+        sim2["features"] = [{} for _ in sim["features"]]
+        t0 = time.time()
+        out = replay(sim2, est=est)
+        results["2_imu_leg_only"] = dict(drift_pct=out["drift_pct"],
+                                         ate_rmse=out["ate_rmse"],
+                                         distance=out["distance"],
+                                         solves=est.stats["solves"],
+                                         wall_s=round(time.time() - t0, 1))
+        print("config 2:", results["2_imu_leg_only"], flush=True)
+
+    if 3 in want:
+        sim = simulate(SimConfig(duration=args.duration, speed=0.5, seed=23))
+        est = Estimator(cfg, dtype=dtype)
+        t0 = time.time()
+        out = replay(sim, est=est)
+        results["3_full_vilo"] = dict(drift_pct=out["drift_pct"],
+                                      ate_rmse=out["ate_rmse"],
+                                      distance=out["distance"],
+                                      solves=est.stats["solves"],
+                                      wall_s=round(time.time() - t0, 1))
+        print("config 3:", results["3_full_vilo"], flush=True)
+
+    if 4 in want:
+        # true calf length differs from the estimator's nominal 0.21
+        true_len = 0.215
+        robot = dataclasses.replace(cfg.robot, lower_leg_length=true_len)
+        sim = simulate(SimConfig(duration=args.duration, speed=0.5, seed=24),
+                       EstimatorConfig(robot=robot))
+        est = Estimator(cfg, dtype=dtype)  # starts at 0.21
+        t0 = time.time()
+        out = replay(sim, est=est)
+        rho_final = float(np.mean(est.rho[5]))
+        results["4_rho_calibration"] = dict(
+            rho_true=true_len, rho_init=0.21, rho_final=round(rho_final, 5),
+            rho_err_mm=round(abs(rho_final - true_len) * 1000, 2),
+            drift_pct=out["drift_pct"],
+            wall_s=round(time.time() - t0, 1))
+        print("config 4:", results["4_rho_calibration"], flush=True)
+
+    if 5 in want:
+        from cerberus_tpu.ops.solver import SolveOptions
+        from cerberus_tpu.parallel.fleet import build_fleet, solve_fleet
+        from cerberus_tpu.parallel.mesh import make_mesh
+
+        t0 = time.time()
+        states, datas, truths = build_fleet(
+            n_segments=2, n_perturb=8 if on_tpu else 4, F=64, dtype=dtype,
+            sim_duration=args.duration)
+        mesh = make_mesh() if len(jax.devices()) > 1 else None
+        res = solve_fleet(states, datas, truths, mesh,
+                          SolveOptions(max_iters=8))
+        B = int(res.cost.shape[0])
+        results["5_fleet"] = dict(
+            batch=B,
+            median_traj_err=float(jnp.median(res.traj_err)),
+            all_converged=bool(jnp.all(res.cost < res.cost0)),
+            wall_s=round(time.time() - t0, 1))
+        print("config 5:", results["5_fleet"], flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({"wrote": args.out, "configs": sorted(results)}))
+
+
+if __name__ == "__main__":
+    main()
