@@ -43,9 +43,29 @@ class SimConfig:
     joint_noise: float = 0.001
     djoint_noise: float = 0.01
     pix_noise: float = 0.5          # pixels (converted via focal 460)
+    # leg-odometry realism: stance feet are not truly rigid anchors — real
+    # quadruped feet slip, roll on their rubber ball, and deform (this is the
+    # very reason Cerberus fuses vision; with perfectly pinned feet, leg
+    # odometry alone would be mm-accurate and vision could only add noise)
+    foot_slip_sigma: float = 0.004   # m/s: std of the random (per-stance,
+                                     # constant-velocity) creep of a stance
+                                     # foot — smooth drift, not white noise
+    foot_slip_forward_bias: float = 0.0015  # m/s systematic slip opposite to
+                                            # travel (compliance/rolling)
+    late_contact_frac: float = 0.08 # fraction of stance (at each end) where
+                                    # the contact flag is wrong (impact /
+                                    # early-liftoff transients)
+    # trot-induced body oscillation (degrees): real quadrupeds pitch and roll
+    # with every diagonal-pair step — this rotation richness is what makes
+    # camera extrinsics / td observable for the reference on its bags
+    roll_amp_deg: float = 1.5
+    pitch_amp_deg: float = 2.0
     # landmarks
     n_landmarks: int = 600
     corridor_halfwidth: float = 6.0
+    max_view_dist: float = 12.0     # feature visibility range (finite track
+                                    # lifetimes: anchors refresh as in real
+                                    # footage)
     seed: int = 0
 
 
@@ -88,6 +108,42 @@ def _quat_from_yaw(yaw):
     q[..., 0] = np.cos(yaw / 2)
     q[..., 3] = np.sin(yaw / 2)
     return q
+
+
+def _quat_from_rot_batch(R):
+    """(N, 3, 3) -> (N, 4) wxyz, sign-continuous along the trajectory."""
+    from scipy.spatial.transform import Rotation
+    q = np.roll(Rotation.from_matrix(R).as_quat(), 1, axis=-1)
+    # enforce sign continuity so finite differences are valid
+    for k in range(1, len(q)):
+        if np.dot(q[k], q[k - 1]) < 0:
+            q[k] = -q[k]
+    return q
+
+
+def _quat_mul_np_batch(a, b):
+    w1, x1, y1, z1 = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    w2, x2, y2, z2 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return np.stack([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2], axis=-1)
+
+
+def _omega_from_quat(q, dt):
+    """(N, 4) wxyz -> (N, 3) body-frame angular velocity via central
+    differences: w = 2 vec(q_k^-1 q_{k+1}) / dt."""
+    N = len(q)
+    qc = q.copy()
+    qc[..., 1:] = -qc[..., 1:]
+    w = np.zeros((N, 3))
+    dq_c = _quat_mul_np_batch(qc[:-2], q[2:])            # q_{k-1}^-1 q_{k+1}
+    w[1:-1] = 2.0 * dq_c[..., 1:] / (2 * dt)
+    dq_f = _quat_mul_np_batch(qc[:-1], q[1:])
+    w[0] = 2.0 * dq_f[0, 1:] / dt
+    w[-1] = 2.0 * dq_f[-1, 1:] / dt
+    return w
 
 
 def _fk_np(q, lc, rho_fix):
@@ -145,8 +201,6 @@ def simulate(cfg: SimConfig, est_cfg: EstimatorConfig | None = None) -> dict:
     t = np.arange(N) * dt
 
     x, y, vx, vy, ax, ay, yaw = _path_xy(t, cfg)
-    # vertical bounce + small roll/pitch are omitted from truth orientation
-    # (yaw-only) to keep IK exact; bounce stays in translation.
     wb = 2 * np.pi * cfg.gait_freq
     z = cfg.body_height + 0.004 * np.sin(2 * wb * t)
     vz = 0.004 * 2 * wb * np.cos(2 * wb * t)
@@ -155,11 +209,23 @@ def simulate(cfg: SimConfig, est_cfg: EstimatorConfig | None = None) -> dict:
     p = np.stack([x, y, z], -1)
     v = np.stack([vx, vy, vz], -1)
     a = np.stack([ax, ay, az], -1)
-    R = _rotz(yaw)
-    q = _quat_from_yaw(yaw)
-    # angular velocity (body frame): only yaw rate about z
-    yaw_rate = np.gradient(np.unwrap(yaw), dt)
-    w_body = np.stack([np.zeros_like(yaw_rate), np.zeros_like(yaw_rate), yaw_rate], -1)
+    # trot-induced roll/pitch oscillation at the gait frequency; IK below
+    # uses the full body rotation so joints stay exactly consistent
+    roll = np.deg2rad(cfg.roll_amp_deg) * np.sin(wb * t)
+    pitch = np.deg2rad(cfg.pitch_amp_deg) * np.sin(2 * wb * t + 0.7)
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    Rx = np.zeros((N, 3, 3)); Ry = np.zeros((N, 3, 3))
+    Rx[:, 0, 0] = 1; Rx[:, 1, 1] = cr; Rx[:, 1, 2] = -sr
+    Rx[:, 2, 1] = sr; Rx[:, 2, 2] = cr
+    Ry[:, 1, 1] = 1; Ry[:, 0, 0] = cp; Ry[:, 0, 2] = sp
+    Ry[:, 2, 0] = -sp; Ry[:, 2, 2] = cp
+    R = _rotz(yaw) @ Ry @ Rx
+    q = _quat_from_rot_batch(R)
+    # body-frame angular velocity from the quaternion central difference
+    # (second-order accurate at 500 Hz; the yaw-rate also came from
+    # np.gradient before)
+    w_body = _omega_from_quat(q, dt)
 
     g = np.array([0.0, 0.0, est_cfg.g_norm])
     acc_body = np.einsum("nji,nj->ni", R, a + g)  # R^T (a + g)
@@ -182,9 +248,10 @@ def simulate(cfg: SimConfig, est_cfg: EstimatorConfig | None = None) -> dict:
     foot_forces = np.zeros((N, 4))
     q_prev = np.tile(np.array([0.0, 0.8, -1.6]), (4, 1))
 
-    # stance foot world anchor per leg
+    # stance foot world anchor per leg (+ per-stance constant slip velocity)
     anchors = np.zeros((4, 3))
     have_anchor = np.zeros(4, dtype=bool)
+    slip_v = np.zeros((4, 2))
     T_gait = 1.0 / cfg.gait_freq
 
     for k in range(N):
@@ -200,9 +267,23 @@ def simulate(cfg: SimConfig, est_cfg: EstimatorConfig | None = None) -> dict:
                     anchors[j] = hip_w + np.array([v[k][0], v[k][1], 0]) * lead
                     anchors[j][2] = 0.0
                     have_anchor[j] = True
+                    # sample this stance phase's (constant) creep velocity:
+                    # random direction + systematic component against travel
+                    slip_v[j] = rng.normal(size=2) * cfg.foot_slip_sigma
+                    sp = np.linalg.norm(v[k][:2])
+                    if sp > 1e-6:
+                        slip_v[j] -= (v[k][:2] / sp) * cfg.foot_slip_forward_bias
+                elif cfg.foot_slip_sigma or cfg.foot_slip_forward_bias:
+                    # stance foot creep: smooth constant-velocity drift
+                    # (rubber-foot rolling / compliance) — feet stay planar
+                    anchors[j][:2] += slip_v[j] * dt
                 foot_w = anchors[j]
-                contacts[k, j] = 1.0
-                foot_forces[k, j] = 60.0 + 10.0 * np.sin(wb * t[k] + j)
+                # contact flag transients near touchdown/liftoff
+                edge = min(ph, duty - ph) < cfg.late_contact_frac * duty
+                contacts[k, j] = 0.0 if edge else 1.0
+                foot_forces[k, j] = max(
+                    0.0, (60.0 + 10.0 * np.sin(wb * t[k] + j))
+                    * (0.3 if edge else 1.0))
             else:
                 have_anchor[j] = False
                 # swing: cycloidal from previous anchor toward next touchdown
@@ -267,7 +348,7 @@ def simulate(cfg: SimConfig, est_cfg: EstimatorConfig | None = None) -> dict:
             Rwc = Rk @ ric[cam]
             twc = Rk @ tic[cam] + pk
             pc = (lm - twc) @ Rwc  # (L, 3) points in camera frame
-            valid = (pc[:, 2] > 0.3) & (pc[:, 2] < 40.0)
+            valid = (pc[:, 2] > 0.3) & (pc[:, 2] < cfg.max_view_dist)
             un = pc[:, 0] / np.maximum(pc[:, 2], 1e-6)
             vn = pc[:, 1] / np.maximum(pc[:, 2], 1e-6)
             valid &= (np.abs(un) < half_fov_x) & (np.abs(vn) < half_fov_y)

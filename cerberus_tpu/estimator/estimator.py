@@ -208,6 +208,13 @@ class Estimator:
             # mask is updated between stages)
             data, feats_d, slots, depths = self._pack()
             st0 = self._window_state(depths)
+            if getattr(self, "debug", False):
+                self.last_debug = {"entry": _cost_breakdown(st0, data, self.F)}
+                if self.prior is not None:
+                    dx = np.asarray(fac.local_diff(st0, self.prior[2]))
+                    j = int(np.argmax(np.abs(dx)))
+                    print(f"[prior-dx] |dx|={np.linalg.norm(dx):.2e} "
+                          f"argmax dim {j} = {dx[j]:.2e}")
             st, info = self._solve(st0, data)
             st_np = jax.device_get(st)  # ONE batched D2H (tunnel-friendly)
             self._adopt(st_np, slots, feats_d)
@@ -217,6 +224,8 @@ class Estimator:
 
             # outlier rejection on the post-solve state (same data)
             st_dev = self._window_state(self.fm.depth_vector(slots))
+            if getattr(self, "debug", False):
+                self.last_debug["exit"] = _cost_breakdown(st_dev, data, self.F)
             errs = jax.device_get(self._reproj_err(st_dev, data))[: len(slots)]
             bad_local = [n for n in range(len(slots))
                          if feats_d["valid"][n]
@@ -343,7 +352,18 @@ class Estimator:
             qic=jnp.asarray(self.qic), td=jnp.asarray(self.td, self.dtype),
             depth=jnp.asarray(d))
 
-    def _free_mask(self):
+    def _free_mask(self, init=False):
+        if init:
+            # initialization solve: poses/velocities/IMU biases only — the
+            # reference's init frees just the gyro bias (solveGyroscopeBias,
+            # estimator.cpp:750; solveGyroLegBias is commented out) and its
+            # first optimization() runs with the robot still stationary, so
+            # rho/extrinsics/td are effectively fixed there. Freeing them on
+            # a 0.7 s window is ill-conditioned and bakes garbage into the
+            # first marginalization prior.
+            return default_free_mask(optimize_leg_bias=False,
+                                     optimize_extrinsic=False,
+                                     optimize_td=False)
         opt_ex = bool(self.cfg.estimate_extrinsic
                       and (np.linalg.norm(self.v[0]) > 0.2
                            or self.open_ex_estimation))
@@ -355,17 +375,17 @@ class Estimator:
             optimize_td=bool(self.cfg.estimate_td
                              and np.linalg.norm(self.v[0]) > 0.2))
 
-    def _pack(self):
+    def _pack(self, init=False):
         feats, slots = self.fm.export()
         data = pack_window_data(
             self.preints, feats, prior=self.prior,
-            free_mask=self._free_mask(),
+            free_mask=self._free_mask(init),
             gravity=(0, 0, self.cfg.g_norm), F=self.F, dtype=self.dtype)
         depths = self.fm.depth_vector(slots)
         return data, feats, slots, depths
 
     def _optimize(self, init=False):
-        data, feats, slots, depths = self._pack()
+        data, feats, slots, depths = self._pack(init)
         st0 = self._window_state(depths)
         solve = self._solve_init if init else self._solve
         st, info = solve(st0, data)
@@ -407,21 +427,27 @@ class Estimator:
         disables them with an early return (estimator.cpp:1005-1050); here
         they are live (SURVEY.md §5 calls for implementing them)."""
         i = C.WINDOW_SIZE
+
+        def fail(reason):
+            if getattr(self, "debug", False):
+                print(f"[failure_detection] {reason}")
+            return True
+
         if np.linalg.norm(self.ba[i]) > 2.5:
-            return True
+            return fail(f"big acc bias {self.ba[i]}")
         if np.linalg.norm(self.bg[i]) > 1.0:
-            return True
+            return fail(f"big gyr bias {self.bg[i]}")
         if self._last_pose is not None:
             last_p, last_q = self._last_pose
             if np.linalg.norm(self.p[i] - last_p) > 5.0:
-                return True
+                return fail(f"position jump {self.p[i]} vs {last_p}")
             if abs(self.p[i][2] - last_p[2]) > 1.0:
-                return True
+                return fail(f"z jump {self.p[i][2]} vs {last_p[2]}")
             dq = _quat_mul_np(np.array([last_q[0], -last_q[1], -last_q[2],
                                         -last_q[3]]), self.q[i])
             ang = np.degrees(2 * np.arccos(np.clip(abs(dq[0]), -1, 1)))
             if ang > 50.0:
-                return True
+                return fail(f"rotation jump {ang:.1f} deg")
         self._last_pose = (self.p[i].copy(), self.q[i].copy())
         return False
 
@@ -445,6 +471,12 @@ class Estimator:
         if margin_flag == MARGIN_OLD:
             pj, pr, valid = self._marg_old(st, data)
             lin = _shift_state(st)
+            if getattr(self, "debug", False):
+                born = float(0.5 * jnp.sum(pr ** 2))
+                sub_cost = None
+                if hasattr(self, "last_debug"):
+                    self.last_debug["born_prior"] = born
+                print(f"[marg_old] born prior cost {born:.1f} valid={bool(valid)}")
             if bool(valid):
                 self.prior = (pj, pr, lin)  # device-resident
             if self.keyframe_callback is not None:
@@ -460,6 +492,10 @@ class Estimator:
             if self.prior is not None:
                 pj, pr, valid = self._marg_new(st, data)
                 lin = _shift_state_second_new(st)
+                if getattr(self, "debug", False):
+                    born = float(0.5 * jnp.sum(pr ** 2))
+                    print(f"[marg_new] born prior cost {born:.1f} "
+                          f"valid={bool(valid)}")
                 if bool(valid):
                     self.prior = (pj, pr, lin)
             self._slide_new()
@@ -524,6 +560,16 @@ class Estimator:
     @property
     def velocity(self):
         return self.v[min(self.frame_count, NF - 1)].copy()
+
+
+def _cost_breakdown(st: fac.WindowState, data: fac.WindowData, F: int):
+    """Debug helper: (ileg, proj, prior) half-sum-of-squares at `st`."""
+    zero = jnp.zeros((fac.tangent_dim(F),), st.p.dtype)
+    r = np.asarray(fac.window_residuals(st, zero, data))
+    s = 310 + F * 44
+    return (float(0.5 * (r[:310] ** 2).sum()),
+            float(0.5 * (r[310:s] ** 2).sum()),
+            float(0.5 * (r[s:] ** 2).sum()))
 
 
 def _shift_state(st: fac.WindowState) -> fac.WindowState:

@@ -33,6 +33,33 @@ def numpy_schur(H, b, drop):
     return Hs, bs
 
 
+def numpy_gauge_project(H, b, state, keep_dense):
+    """Independent NumPy version of the analytic gauge-null-space projection
+    (global translation x3 + yaw) applied by ops/marginalize before the
+    eigen square root. Operates on the keep_dense-restricted dense block."""
+    from scipy.spatial.transform import Rotation
+
+    dim = fac.D_DENSE
+    N = np.zeros((dim, 4))
+    z = np.array([0.0, 0.0, 1.0])
+    p = np.asarray(state.p)
+    v = np.asarray(state.v)
+    q = np.asarray(state.q)
+    for i in range(C.NUM_FRAMES):
+        po = fac.POSE_OFF + 6 * i
+        so = fac.SB_OFF + 9 * i
+        for d in range(3):
+            N[po + d, d] = 1.0
+        N[po: po + 3, 3] = np.cross(z, p[i])
+        R = Rotation.from_quat(np.roll(q[i], -1)).as_matrix()
+        N[po + 3: po + 6, 3] = R.T @ z
+        N[so: so + 3, 3] = np.cross(z, v[i])
+    Nk = N[keep_dense]
+    P = np.eye(keep_dense.sum()) - Nk @ np.linalg.solve(
+        Nk.T @ Nk + 1e-12 * np.eye(4), Nk.T)
+    return P @ H @ P, P @ b
+
+
 def test_marginalize_old_matches_numpy_schur(problem):
     data, truth, Fa = problem
     F = truth.depth.shape[0]
@@ -55,6 +82,11 @@ def test_marginalize_old_matches_numpy_schur(problem):
     # keep dims inside the dense block (depths were all dropped)
     keep_dense = np.ones(fac.D_DENSE, bool)
     keep_dense[fac.frame_tangent_indices(0)] = False
+    # gauge-null-space projection (matches ops/marginalize)
+    kd = keep_dense.sum()
+    Hs_d, bs_d = numpy_gauge_project(Hs[:kd, :kd], bs[:kd], truth, keep_dense)
+    Hs[:kd, :kd] = Hs_d
+    bs[:kd] = bs_d
     # prior (before shift) reconstructs the Schur information:
     # undo the frame shift by applying the inverse permutation
     P = np.asarray(marg.shift_permutation())
