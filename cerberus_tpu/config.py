@@ -128,6 +128,14 @@ class EstimatorConfig:
     td: float = 0.0024
     g_norm: float = 9.805
 
+    # standing weak prior bounding the wander of the weakly-observable
+    # calibration states (extrinsics/td) along near-null directions; excluded
+    # from marginalization so its information never accumulates
+    # (ops/factors.WindowData.calib_*). 0 disables.
+    ex_prior_sigma_t: float = 0.05      # m
+    ex_prior_sigma_r: float = 0.035     # rad (~2 deg)
+    td_prior_sigma: float = 0.02        # s
+
     # solver budget (reference: yaml max_solver_time/max_num_iterations)
     max_solver_time: float = 0.1
     max_num_iterations: int = 12

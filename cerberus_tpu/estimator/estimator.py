@@ -345,12 +345,19 @@ class Estimator:
     def _window_state(self, depths) -> fac.WindowState:
         d = np.ones(self.F)
         d[: len(depths)] = depths
+        # jnp.array (copy=True), NOT jnp.asarray: on the CPU backend asarray
+        # zero-copy ALIASES the numpy buffers, and the async-dispatched device
+        # computations reading this state (solve, marginalization) race with
+        # the in-place slide of self.p/q/v/... in _slide_old — nondeterministic
+        # run-to-run divergence (a marginalization reading a half-slid window
+        # produces a garbage prior).
+        a = lambda x: jnp.array(x, self.dtype)
         return fac.WindowState(
-            p=jnp.asarray(self.p), q=jnp.asarray(self.q), v=jnp.asarray(self.v),
-            ba=jnp.asarray(self.ba), bg=jnp.asarray(self.bg),
-            rho=jnp.asarray(self.rho), tic=jnp.asarray(self.tic),
-            qic=jnp.asarray(self.qic), td=jnp.asarray(self.td, self.dtype),
-            depth=jnp.asarray(d))
+            p=a(self.p), q=a(self.q), v=a(self.v),
+            ba=a(self.ba), bg=a(self.bg),
+            rho=a(self.rho), tic=a(self.tic),
+            qic=a(self.qic), td=jnp.array(self.td, self.dtype),
+            depth=a(d))
 
     def _free_mask(self, init=False):
         if init:
@@ -377,10 +384,20 @@ class Estimator:
 
     def _pack(self, init=False):
         feats, slots = self.fm.export()
+        cw = np.zeros(13)
+        if self.cfg.ex_prior_sigma_t > 0:
+            cw[[0, 1, 2, 6, 7, 8]] = 1.0 / self.cfg.ex_prior_sigma_t
+        if self.cfg.ex_prior_sigma_r > 0:
+            cw[[3, 4, 5, 9, 10, 11]] = 1.0 / self.cfg.ex_prior_sigma_r
+        if self.cfg.td_prior_sigma > 0:
+            cw[12] = 1.0 / self.cfg.td_prior_sigma
+        ric_ref, tic_ref = self.cfg.ric_tic()
+        qic_ref = np.stack([_rot_to_quat_np(ric_ref[i]) for i in range(2)])
         data = pack_window_data(
             self.preints, feats, prior=self.prior,
             free_mask=self._free_mask(init),
-            gravity=(0, 0, self.cfg.g_norm), F=self.F, dtype=self.dtype)
+            gravity=(0, 0, self.cfg.g_norm), F=self.F, dtype=self.dtype,
+            calib_prior=(tic_ref, qic_ref, self.cfg.td, cw))
         depths = self.fm.depth_vector(slots)
         return data, feats, slots, depths
 

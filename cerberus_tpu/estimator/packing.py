@@ -46,6 +46,7 @@ def pack_window_data(
     F: int = C.MAX_FEATURES,
     dtype=jnp.float64,
     cov_jitter: float = 1e-14,
+    calib_prior=None,
 ) -> fac.WindowData:
     """Assemble a WindowData.
 
@@ -56,6 +57,8 @@ def pack_window_data(
         vel_r (Fa,11,2), td (Fa,11), obs (Fa,11) bool, stereo (Fa,11) bool,
         valid (Fa,) bool  — Fa <= F; padded to F here.
       prior: None or (prior_J (222,222), prior_r (222,), lin_state WindowState).
+      calib_prior: None (disabled) or (tic_ref (2,3), qic_ref (2,4), td_ref,
+        w (13,)) — standing weak prior on extrinsics/td (fac.WindowData.calib_*).
     """
     f = lambda x: jnp.asarray(x, dtype)
 
@@ -120,6 +123,18 @@ def pack_window_data(
     if free_mask is None:
         free_mask = default_free_mask()
 
+    if calib_prior is None:
+        calib_w = jnp.zeros((13,), dtype)
+        calib_tic = jnp.zeros((2, 3), dtype)
+        calib_qic = jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype), (2, 1))
+        calib_td = jnp.zeros((), dtype)
+    else:
+        tic_ref, qic_ref, td_ref, w = calib_prior
+        calib_w = f(w)
+        calib_tic = f(tic_ref)
+        calib_qic = f(qic_ref)
+        calib_td = jnp.asarray(td_ref, dtype)
+
     return fac.WindowData(
         pre_dp=pre_dp, pre_dq=pre_dq, pre_dv=pre_dv, pre_deps=pre_deps,
         pre_J=pre_J, pre_L=pre_L, pre_dt=pre_dt, pre_ba=pre_ba,
@@ -132,4 +147,6 @@ def pack_window_data(
         prior_J=prior_J, prior_r=prior_r, prior_valid=prior_valid,
         prior_lin=prior_lin,
         free_mask=jnp.asarray(free_mask), gravity=f(gravity),
+        calib_w=calib_w, calib_tic=calib_tic, calib_qic=calib_qic,
+        calib_td=calib_td,
     )

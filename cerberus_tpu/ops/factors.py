@@ -121,9 +121,22 @@ class WindowData(NamedTuple):
     free_mask: jax.Array    # (222,) bool — optimizable dense dims
     gravity: jax.Array      # (3,)
 
+    # standing weak calibration prior pinning extrinsics/td near their config
+    # values (13 rows: ex0(6), ex1(6), td). NOT part of the marginalization
+    # sub-problem (marginalize_old zeroes calib_w) so its information never
+    # accumulates — it only bounds the wander of these weakly-observable
+    # states along near-null directions between keyframes. The reference has
+    # no such prior and relies on rich motion to keep extrinsics observable;
+    # on gentle trajectories its Ceres DOGLEG trust region plays the same
+    # step-bounding role.
+    calib_w: jax.Array      # (13,) sqrt-information diagonal (0 disables)
+    calib_tic: jax.Array    # (2, 3) reference extrinsic translations
+    calib_qic: jax.Array    # (2, 4) reference extrinsic rotations (wxyz)
+    calib_td: jax.Array     # () reference time offset
+
 
 def num_residuals(F: int) -> int:
-    return 310 + F * 44 + D_DENSE
+    return 310 + F * 44 + D_DENSE + 13
 
 
 def tangent_dim(F: int) -> int:
@@ -273,13 +286,21 @@ def _prior_residuals(st: WindowState, data: WindowData):
     return jnp.where(data.prior_valid, r, 0.0)
 
 
+def _calib_residuals(st: WindowState, data: WindowData):
+    """(13,) whitened calibration-prior rows: [ex0(6), ex1(6), td]."""
+    dth_ic = 2.0 * lie.quat_mul(lie.quat_conj(data.calib_qic), st.qic)[..., 1:]
+    ex = jnp.concatenate([st.tic - data.calib_tic, dth_ic], axis=-1).reshape(12)
+    return data.calib_w * jnp.concatenate([ex, (st.td - data.calib_td)[None]])
+
+
 def window_residuals(lin: WindowState, delta: jax.Array, data: WindowData):
     """Full stacked residual at lin [+] delta. Returns (N,) vector."""
     st = retract(lin, delta)
     r_ileg = _ileg_residuals(st, data).reshape(-1)
     r_proj = _proj_residuals(st, data).reshape(-1)
     r_prior = _prior_residuals(st, data)
-    return jnp.concatenate([r_ileg, r_proj, r_prior])
+    r_calib = _calib_residuals(st, data)
+    return jnp.concatenate([r_ileg, r_proj, r_prior, r_calib])
 
 
 def proj_row_slice(F: int):

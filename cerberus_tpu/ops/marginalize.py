@@ -181,11 +181,15 @@ def marginalize_old(state: fac.WindowState, data: fac.WindowData):
     F = state.depth.shape[0]
     dtype = state.p.dtype
 
-    # restrict data to the factors the reference marginalizes
+    # restrict data to the factors the reference marginalizes. The standing
+    # calibration prior (data.calib_w) is deliberately EXCLUDED: absorbing it
+    # into the marginalization prior every slide would accumulate its
+    # information linearly in time and pin the extrinsics/td to config.
     anchored0 = data.f_start == 0
     sub = data._replace(
         interval_valid=data.interval_valid & (jnp.arange(10) == 0),
         f_valid=data.f_valid & anchored0,
+        calib_w=jnp.zeros_like(data.calib_w),
     )
     r, J, _ = fac.linearize(state, sub)
     # zero the depth columns of non-marginalized features (masked out of the

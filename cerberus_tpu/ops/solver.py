@@ -26,13 +26,24 @@ class SolveOptions(NamedTuple):
     lam0: float = 1e-4
     lam_up: float = 4.0
     lam_down: float = 3.0
-    lam_min: float = 1e-12
+    lam_min: float = 1e-8         # floor: with the gauge projected out, the
+                                  # remaining near-null dirs (weak depths) must
+                                  # not blow up as lam decays over iterations
     lam_max: float = 1e8
     diag_floor: float = 1e-8
     structured: bool = True       # factor-sparse H assembly (ops/structured.py)
                                   # False = dense jacfwd J then J^T J
     function_tolerance: float = 1e-6  # early stop on relative cost decrease
                                       # (Ceres function_tolerance semantics)
+    step_clip: float = 1.0        # trust-region-style safety valve: scale the
+                                  # whole step if any component exceeds this
+                                  # (m / rad / unit inverse-depth). Plays the
+                                  # role of Ceres DOGLEG's trust radius for
+                                  # near-null directions.
+    project_gauge: bool = True    # project the analytic 4-dim gauge null
+                                  # space (global translation + yaw) out of
+                                  # (H, b) each iteration so roundoff gradient
+                                  # along it can never drive a huge step
 
 
 class SolveInfo(NamedTuple):
@@ -78,7 +89,26 @@ def solve_window(state: fac.WindowState, data: fac.WindowData,
             r, J, _ = fac.linearize(st, data)
             H = J.T @ J
             b = J.T @ r
+        if opts.project_gauge:
+            # every factor is relative, so H is exactly singular along global
+            # translation + yaw; numerically those eigenvalues sit at
+            # roundoff scale and b picks up roundoff gradient along them —
+            # at small lam that turns into an arbitrarily large cost-neutral
+            # step (chaotic run-to-run divergence). Remove the subspace
+            # analytically (same basis as ops/marginalize._gauge_null_basis).
+            from cerberus_tpu.ops.marginalize import _gauge_null_basis
+            dim = H.shape[0]
+            N = _gauge_null_basis(st, dim)
+            freec = jnp.concatenate([
+                data.free_mask, data.f_valid]).astype(H.dtype)
+            N = N * freec[:, None]
+            Q, _ = jnp.linalg.qr(N)                # (dim, 4) orthonormal
+            P = jnp.eye(dim, dtype=H.dtype) - Q @ Q.T
+            H = P @ H @ P
+            b = P @ b
         dx = _damped_solve(H, b, lam, opts)
+        mx = jnp.max(jnp.abs(dx))
+        dx = dx * jnp.minimum(1.0, opts.step_clip / jnp.maximum(mx, 1e-30))
         cand = fac.retract(st, dx)
         new_cost = cost_of(cand)
         ok = new_cost < cost

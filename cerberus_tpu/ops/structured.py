@@ -225,6 +225,15 @@ def build_normal_equations(st: fac.WindowState, data: fac.WindowData):
     H = H.at[: fac.D_DENSE, : fac.D_DENSE].add(Jpr.T @ Jpr)
     b = b.at[: fac.D_DENSE].add(Jpr.T @ r_prior)
 
+    # ---- standing calibration prior (13 diagonal rows on ex0/ex1/td;
+    # factors._calib_residuals). J ~ calib_w * I on those dims (exact for
+    # translations/td, first-order for the rotation tangents — fine for a
+    # weak prior).
+    r_calib = fac._calib_residuals(st, data)
+    cd = jnp.arange(fac.EX0_OFF, fac.TD_OFF + 1)
+    H = H.at[cd, cd].add(data.calib_w ** 2)
+    b = b.at[cd].add(data.calib_w * r_calib)
+
     # ---- free-mask (zero rows+cols of frozen dims) ----
     col_mask = jnp.concatenate([data.free_mask.astype(dtype),
                                 data.f_valid.astype(dtype)])
@@ -234,5 +243,5 @@ def build_normal_equations(st: fac.WindowState, data: fac.WindowData):
     # residual vector for cost bookkeeping (same ordering as factors stack)
     r0 = jnp.concatenate([jnp.stack(r_il_list).reshape(-1),
                           r_p.reshape(-1),
-                          r_prior])
+                          r_prior, r_calib])
     return H, b, r0
