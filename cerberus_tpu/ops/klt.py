@@ -1,0 +1,256 @@
+"""Batched pyramidal Lucas-Kanade optical flow + Shi-Tomasi detection on TPU.
+
+TPU-native equivalent of the reference's OpenCV front-end — pyramidal
+cv::calcOpticalFlowPyrLK with forward-backward consistency checking
+(reference: src/featureTracker/feature_tracker.cpp:112-151) and
+cv::goodFeaturesToTrack replenishment (feature_tracker.cpp:177-195) — as one
+jitted, static-shape program:
+
+  * N point slots with a validity mask (no dynamic feature counts),
+  * L pyramid levels built by separable Gaussian blur + 2x subsample,
+  * K fixed Gauss-Newton iterations per level,
+  * bilinear patch gathers (the only gather in the hot path; ~N*P^2 elements),
+  * 2x2 normal equations solved in closed form per point.
+
+Everything vmaps over a batch of streams: a pod-scale deployment tracks
+thousands of camera streams by sharding the batch axis over the mesh, which is
+the capability the reference's single-threaded OpenCV front-end fundamentally
+lacks (SURVEY.md §7 build step 7b, hard part 5).
+
+Coordinates are (x, y) pixels at level-0 resolution, matching OpenCV.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_G5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+
+
+def _sep_blur(img: jax.Array) -> jax.Array:
+    """5-tap separable Gaussian blur with edge replication, (H, W) f32."""
+    k = _G5.astype(img.dtype)
+    pad = jnp.pad(img, ((2, 2), (0, 0)), mode="edge")
+    img = sum(pad[i : i + img.shape[0]] * k[i] for i in range(5))
+    pad = jnp.pad(img, ((0, 0), (2, 2)), mode="edge")
+    img = sum(pad[:, i : i + img.shape[1]] * k[i] for i in range(5))
+    return img
+
+
+def build_pyramid(img: jax.Array, levels: int) -> list[jax.Array]:
+    """Gaussian pyramid [level0 (H,W), level1 (H/2,W/2), ...], f32."""
+    img = img.astype(jnp.float32)
+    pyr = [img]
+    for _ in range(levels - 1):
+        img = _sep_blur(img)[::2, ::2]
+        pyr.append(img)
+    return pyr
+
+
+def _scharr(img: jax.Array):
+    """Scharr x/y derivative images (3/32 · [3 10 3] ⊗ [-1 0 1])."""
+    s = jnp.array([3.0, 10.0, 3.0], img.dtype) / 32.0
+    d = jnp.array([-1.0, 0.0, 1.0], img.dtype)
+
+    def conv1d(a, k, axis):
+        pad = [(1, 1), (0, 0)] if axis == 0 else [(0, 0), (1, 1)]
+        p = jnp.pad(a, pad, mode="edge")
+        if axis == 0:
+            return sum(p[i : i + a.shape[0]] * k[i] for i in range(3))
+        return sum(p[:, i : i + a.shape[1]] * k[i] for i in range(3))
+
+    ix = conv1d(conv1d(img, d, 1), s, 0)
+    iy = conv1d(conv1d(img, d, 0), s, 1)
+    return ix, iy
+
+
+def _bilinear(img: jax.Array, xy: jax.Array) -> jax.Array:
+    """Sample img (H, W) at xy (..., 2) float (x, y) with border clamping."""
+    H, W = img.shape
+    x = jnp.clip(xy[..., 0], 0.0, W - 1.001)
+    y = jnp.clip(xy[..., 1], 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    flat = img.reshape(-1)
+    idx = y0 * W + x0
+    v00 = jnp.take(flat, idx)
+    v01 = jnp.take(flat, idx + 1)
+    v10 = jnp.take(flat, idx + W)
+    v11 = jnp.take(flat, idx + W + 1)
+    return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+            + v10 * (1 - fx) * fy + v11 * fx * fy)
+
+
+class LKResult(NamedTuple):
+    pts: jax.Array      # (N, 2) tracked positions, level-0 pixels
+    status: jax.Array   # (N,) bool — tracked successfully
+    err: jax.Array      # (N,) mean absolute patch residual
+
+
+def _patch_grid(half: int, dtype):
+    r = jnp.arange(-half, half + 1, dtype=dtype)
+    gx, gy = jnp.meshgrid(r, r, indexing="xy")
+    return jnp.stack([gx, gy], -1).reshape(-1, 2)  # (P^2, 2)
+
+
+@partial(jax.jit, static_argnames=("half", "iters", "min_eig", "margin"))
+def _lk_level(img0, ix0, iy0, img1, pts, guess, half=10, iters=10,
+              min_eig=1e-4, margin=1):
+    """One pyramid level of LK for all points. pts/guess in THIS level's
+    pixels. Returns (new_guess, ok, err)."""
+    dtype = img0.dtype
+    grid = _patch_grid(half, dtype)                      # (P2, 2)
+    H, W = img0.shape
+
+    def one(p0, g):
+        coords0 = p0[None, :] + grid                     # (P2, 2)
+        t = _bilinear(img0, coords0)
+        gx = _bilinear(ix0, coords0)
+        gy = _bilinear(iy0, coords0)
+        gxx = jnp.sum(gx * gx)
+        gxy = jnp.sum(gx * gy)
+        gyy = jnp.sum(gy * gy)
+        det = gxx * gyy - gxy * gxy
+        tr = gxx + gyy
+        mineig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
+        ok_g = mineig / grid.shape[0] > min_eig
+        inv = jnp.where(det > 1e-12, 1.0 / jnp.maximum(det, 1e-12), 0.0)
+
+        def body(_, v):
+            cur = _bilinear(img1, p0[None, :] + v[None, :] + grid)
+            d = cur - t
+            bx = jnp.sum(d * gx)
+            by = jnp.sum(d * gy)
+            dv = -inv * jnp.array([gyy * bx - gxy * by,
+                                   gxx * by - gxy * bx])
+            return v + dv
+
+        v = jax.lax.fori_loop(0, iters, body, g - p0)
+        cur = _bilinear(img1, p0[None, :] + v[None, :] + grid)
+        err = jnp.mean(jnp.abs(cur - t))
+        newp = p0 + v
+        # patch sampling clamps at borders, so only a small margin is
+        # required per level; the caller applies the strict half-window
+        # margin at the finest level (OpenCV-equivalent behavior — a point
+        # near the border of a COARSE level is still trackable).
+        inb = ((newp[0] >= margin) & (newp[0] < W - margin)
+               & (newp[1] >= margin) & (newp[1] < H - margin))
+        return newp, ok_g & inb, err
+
+    return jax.vmap(one)(pts, guess)
+
+
+def lk_track(pyr0: list[jax.Array], pyr1: list[jax.Array], pts: jax.Array,
+             valid: jax.Array, guess: jax.Array | None = None,
+             half: int = 10, iters: int = 10) -> LKResult:
+    """Pyramidal LK: track level-0 pixel points pts (N, 2) from pyr0 to pyr1.
+
+    guess: optional (N, 2) motion-prediction seed at level 0 (reference:
+    feature_tracker.cpp:112-133 uses predicted points when available)."""
+    L = len(pyr0)
+    if guess is None:
+        guess = pts
+    g = guess / (2 ** (L - 1))
+    ok_all = jnp.ones(pts.shape[0], bool)
+    err = jnp.zeros(pts.shape[0], pyr0[0].dtype)
+    for lvl in range(L - 1, -1, -1):
+        scale = 2 ** lvl
+        ix, iy = _scharr(pyr0[lvl])
+        g, ok, err = _lk_level(pyr0[lvl], ix, iy, pyr1[lvl],
+                               pts / scale, g, half=half, iters=iters,
+                               margin=half if lvl == 0 else 1)
+        ok_all = ok_all & ok
+        if lvl > 0:
+            g = g * 2.0
+    return LKResult(pts=g, status=ok_all & valid, err=err)
+
+
+def lk_track_fb(pyr0, pyr1, pts, valid, guess=None, half=10, iters=10,
+                fb_thresh=0.5) -> LKResult:
+    """LK with forward-backward consistency check <= fb_thresh px
+    (reference: flow_back, feature_tracker.cpp:135-151)."""
+    fwd = lk_track(pyr0, pyr1, pts, valid, guess, half, iters)
+    bwd = lk_track(pyr1, pyr0, fwd.pts, fwd.status, pts, half, iters)
+    dist = jnp.linalg.norm(bwd.pts - pts, axis=-1)
+    ok = fwd.status & bwd.status & (dist <= fb_thresh)
+    return LKResult(pts=fwd.pts, status=ok, err=fwd.err)
+
+
+# ---------------------------------------------------------------------------
+# Shi-Tomasi detection (cv::goodFeaturesToTrack equivalent)
+# ---------------------------------------------------------------------------
+
+def shi_tomasi(img: jax.Array, win: int = 3) -> jax.Array:
+    """(H, W) min-eigenvalue corner response over a (2*win+1)^2 window."""
+    ix, iy = _scharr(img.astype(jnp.float32))
+
+    def box(a):
+        k = 2 * win + 1
+        p = jnp.pad(a, win, mode="edge")
+        out = jnp.zeros_like(a)
+        for dy in range(k):
+            for dx in range(k):
+                out = out + p[dy : dy + a.shape[0], dx : dx + a.shape[1]]
+        return out / (k * k)
+
+    gxx = box(ix * ix)
+    gxy = box(ix * iy)
+    gyy = box(iy * iy)
+    tr = gxx + gyy
+    det = gxx * gyy - gxy * gxy
+    return 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
+
+
+def _maxpool(score: jax.Array, radius: int) -> jax.Array:
+    lo = (jnp.iinfo(score.dtype).min if jnp.issubdtype(score.dtype, jnp.integer)
+          else -jnp.inf)
+    p = jnp.pad(score, radius, mode="constant", constant_values=lo)
+    out = score
+    for dy in range(2 * radius + 1):
+        for dx in range(2 * radius + 1):
+            out = jnp.maximum(
+                out, p[dy : dy + score.shape[0], dx : dx + score.shape[1]])
+    return out
+
+
+@partial(jax.jit, static_argnames=("max_new", "min_dist", "border"))
+def detect_features(img: jax.Array, occupied: jax.Array, max_new: int,
+                    min_dist: int = 10, border: int = 12,
+                    quality: float = 0.01):
+    """Top-`max_new` Shi-Tomasi corners with non-max suppression and an
+    occupancy mask (existing tracks + their min_dist neighborhoods), the
+    static-shape counterpart of the reference's mask+goodFeaturesToTrack
+    (feature_tracker.cpp:55-84, 177-195).
+
+    occupied: (H, W) bool — True where new detections are forbidden.
+    Returns (pts (max_new, 2) float32 (x, y), ok (max_new,) bool)."""
+    H, W = img.shape
+    score = shi_tomasi(img)
+    yy, xx = jnp.mgrid[0:H, 0:W]
+    # exact NMS with tie-breaking: corner responses plateau (checkerboards),
+    # and a >=-only NMS keeps whole plateaus. Quantize the score to int32 and
+    # argmax-by-index among window ties (two integer maxpools) — survivors are
+    # then strictly > min_dist apart (two within range would each have to
+    # dominate the other).
+    si = jnp.round(score / jnp.maximum(jnp.max(score), 1e-30)
+                   * 1e6).astype(jnp.int32)
+    idx32 = (xx + W * yy).astype(jnp.int32)
+    m1 = _maxpool(si, min_dist)
+    m2 = _maxpool(jnp.where(si == m1, idx32, -1), min_dist)
+    nms = (si == m1) & (idx32 == m2)
+    # block detections near occupied pixels
+    occ = _maxpool(jnp.where(occupied, 1.0, 0.0), min_dist) > 0
+    inb = ((xx >= border) & (xx < W - border)
+           & (yy >= border) & (yy < H - border))
+    good = nms & inb & (~occ) & (score > quality * jnp.max(score))
+    flat = jnp.where(good, score, -jnp.inf).reshape(-1)
+    vals, idx = jax.lax.top_k(flat, max_new)
+    pts = jnp.stack([(idx % W).astype(jnp.float32),
+                     (idx // W).astype(jnp.float32)], -1)
+    return pts, vals > -jnp.inf
