@@ -137,7 +137,11 @@ class Estimator:
         self.latest = None
         self._last_pose = None
         self.keyframe_callback = None  # fn(t, p(3,), q(4,), feature_ids)
-        self.stats = {"solves": 0, "solve_time": 0.0, "keyframes": 0}
+        # reboots survives clear_state so replays can report recovery events
+        # (reference: failureDetection -> clearState, estimator.cpp:823-831)
+        reboots = getattr(self, "stats", {}).get("reboots", 0)
+        self.stats = {"solves": 0, "solve_time": 0.0, "keyframes": 0,
+                      "reboots": reboots}
 
     # ------------------------------------------------------------------
     def input_imu_leg(self, t, acc, gyr, phi, dphi, contact):
@@ -238,6 +242,7 @@ class Estimator:
 
             if self.failure_detection():
                 # system reboot (reference: estimator.cpp:823-831)
+                self.stats["reboots"] += 1
                 self.clear_state()
                 return
             self._post_solve(margin_flag, data=data, slots=slots)

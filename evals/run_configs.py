@@ -27,13 +27,25 @@ def main():
     ap.add_argument("--duration", type=float, default=8.0)
     ap.add_argument("--out", default="CONFIG_RESULTS.json")
     ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--platform", default="auto", choices=["auto", "cpu", "tpu"],
+                    help="force the jax platform. NOTE: a JAX_PLATFORMS=cpu "
+                         "env prefix is IGNORED in this environment "
+                         "(sitecustomize pre-registers the TPU plugin); only "
+                         "jax.config.update works, which this flag does.")
     args = ap.parse_args()
 
     import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import numpy as np
 
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    assert args.platform == "auto" or (args.platform == "tpu") == on_tpu, \
+        f"requested {args.platform}, got {jax.devices()[0].platform}"
+    print(f"platform: {jax.devices()[0].platform}", flush=True)
     dtype = jnp.float32 if on_tpu else jnp.float64
     if not on_tpu:
         jax.config.update("jax_enable_x64", True)
@@ -105,11 +117,12 @@ def main():
         est = Estimator(cfg, dtype=dtype)  # starts at 0.21
         t0 = time.time()
         out = replay(sim, est=est)
-        rho_final = float(np.mean(est.rho[5]))
+        rho_final = float(np.mean(est.rho[10]))  # newest frame
         results["4_rho_calibration"] = dict(
             rho_true=true_len, rho_init=0.21, rho_final=round(rho_final, 5),
             rho_err_mm=round(abs(rho_final - true_len) * 1000, 2),
             drift_pct=out["drift_pct"],
+            solves=est.stats["solves"], reboots=est.stats["reboots"],
             wall_s=round(time.time() - t0, 1))
         print("config 4:", results["4_rho_calibration"], flush=True)
 
