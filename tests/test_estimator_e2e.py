@@ -50,6 +50,27 @@ def test_replay_handles_non_keyframes():
     assert out["ate_rmse"] < 0.15
 
 
+@pytest.mark.slow
+def test_rho_calibration_converges():
+    """Online kinematic calibration — the reference's RA-L 2022 headline
+    capability: with the true calf length 5 mm longer than the estimator's
+    nominal, the streaming rho estimate must move decisively toward truth
+    (reference: RHO_OPT per-leg leg bias in the window, parameters.h:96)."""
+    import dataclasses
+
+    cfg = EstimatorConfig()
+    robot = dataclasses.replace(cfg.robot, lower_leg_length=0.215)
+    sim = simulate(SimConfig(duration=5.0, speed=0.5, seed=24),
+                   EstimatorConfig(robot=robot))
+    out = replay(sim, cfg=cfg)
+    est = out["estimator"]
+    assert est.stats["reboots"] == 0
+    rho_mean = float(np.mean(est.rho[10]))
+    # starts at 0.210, truth 0.215: must recover at least half the error
+    assert rho_mean > 0.2125, rho_mean
+    assert out["drift_pct"] < 2.0
+
+
 def test_restart_semantics():
     """clearState must fully reset (reference: /vins_restart, main.cpp:236)."""
     from cerberus_tpu.estimator.estimator import Estimator
