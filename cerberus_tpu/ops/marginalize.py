@@ -177,7 +177,16 @@ def marginalize_old(state: fac.WindowState, data: fac.WindowData):
     Includes: the existing prior, the IMU+leg factor 0->1, and every
     projection factor anchored at frame 0 (whose depths are dropped too).
     Returns (prior_J, prior_r, prior_valid) on the dense tangent, already
-    SHIFTED to the post-slide frame labeling (old frame i -> i-1)."""
+    SHIFTED to the post-slide frame labeling (old frame i -> i-1).
+
+    Matmul precision pinned to 'highest' (see solve_window): the prior is
+    the long-horizon memory — bf16-pass noise here accumulates over every
+    slide."""
+    with jax.default_matmul_precision("highest"):
+        return _marginalize_old_impl(state, data)
+
+
+def _marginalize_old_impl(state: fac.WindowState, data: fac.WindowData):
     F = state.depth.shape[0]
     dtype = state.p.dtype
 
@@ -234,6 +243,11 @@ def marginalize_second_new(state: fac.WindowState, data: fac.WindowData):
     The prior residual is re-evaluated at the CURRENT state (the reference
     re-evaluates all blocks at para_* after the solve) so the resulting
     (J, r) pair is anchored at `state` as its new linearization point."""
+    with jax.default_matmul_precision("highest"):
+        return _marginalize_second_new_impl(state, data)
+
+
+def _marginalize_second_new_impl(state: fac.WindowState, data: fac.WindowData):
     dtype = data.prior_J.dtype
     r_here = data.prior_r + data.prior_J @ fac.local_diff(state, data.prior_lin)
 

@@ -508,12 +508,20 @@ def il_preintegrate(dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho,
       acc/gyr: (S, 3); phi/dphi: (S, 12); c: (S, 4) contact flags or forces.
       mask: (S,) bool validity.
       ba, bg: (3,); rho: (4,) linearization points.
+
+    Matmul precision is pinned to 'highest': on TPU the default f32 matmul
+    runs as bf16 passes (~3e-3 relative), which drowns the small ∂ε/∂ρ
+    terms in the 31x31 J/P recursion — the rho calibration signal — and
+    stalls online leg-length estimation. Measured: rho stuck at its init
+    under default precision, converges under highest. No-op on CPU.
     """
     init = il_init_carry(acc[0], gyr[0], phi[0], dphi[0], c[0])
     step = lambda cr, x: _il_step(cr, x, ba, bg, rho, params)
-    fin, _ = jax.lax.scan(
-        step, init, (dt[1:], acc[1:], gyr[1:], phi[1:], dphi[1:], c[1:], mask[1:])
-    )
+    with jax.default_matmul_precision("highest"):
+        fin, _ = jax.lax.scan(
+            step, init,
+            (dt[1:], acc[1:], gyr[1:], phi[1:], dphi[1:], c[1:], mask[1:])
+        )
     return ILPreint(
         dp=fin.dp, dq=fin.dq, dv=fin.dv, deps=fin.deps, sum_deps=fin.sum_deps,
         J=fin.J, P=fin.P, sum_dt=fin.sum_dt, ba=ba, bg=bg, rho=rho,

@@ -66,7 +66,19 @@ def _damped_solve(H, b, lam, opts: SolveOptions):
 
 def solve_window(state: fac.WindowState, data: fac.WindowData,
                  opts: SolveOptions = SolveOptions()):
-    """Run LM on one window. Returns (new_state, SolveInfo)."""
+    """Run LM on one window. Returns (new_state, SolveInfo).
+
+    Traced under jax.default_matmul_precision('highest'): TPU default f32
+    matmuls are bf16 passes whose ~3e-3 relative noise swamps the weakest
+    gradient directions (rho calibration, td) in the H/b assembly. No-op on
+    CPU; costs MXU passes on TPU but the window solve is small enough that
+    latency is dispatch-dominated (see bench.py numbers)."""
+    with jax.default_matmul_precision("highest"):
+        return _solve_window_impl(state, data, opts)
+
+
+def _solve_window_impl(state: fac.WindowState, data: fac.WindowData,
+                       opts: SolveOptions):
     F = state.depth.shape[0]
 
     def cost_of(st):
