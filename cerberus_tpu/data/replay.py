@@ -45,9 +45,12 @@ def replay(sim: dict, cfg: EstimatorConfig | None = None,
             writer = CsvWriter(csv_path, header)
         except Exception:
             writer = _PyCsv(csv_path, header)
+    # contact source selection (reference: main.cpp:319-330 switch on
+    # CONTACT_SENSOR_TYPE): 0 = EKF contact probabilities (requires `ekf`),
+    # 1 = plan/gait contacts, 2 = raw foot force (the preintegration's
+    # sigmoid contact model consumes forces directly)
+    ctype = est.cfg.contact_sensor_type
     for k in range(len(t)):
-        est.input_imu_leg(t[k], sim["acc"][k], sim["gyr"][k], sim["phi"][k],
-                          sim["dphi"][k], sim["contacts"][k])
         if ekf is not None:
             if not ekf.is_inited():
                 ekf.init_filter(t[k], sim["acc"][k], sim["gyr"][k],
@@ -56,6 +59,14 @@ def replay(sim: dict, cfg: EstimatorConfig | None = None,
                 ekf.update_filter(t[k], sim["acc"][k], sim["gyr"][k],
                                   sim["phi"][k], dphi=sim["dphi"][k],
                                   foot_force=sim["foot_forces"][k])
+        if ctype == 0 and ekf is not None and ekf.is_inited():
+            contact = ekf.get_contacts()
+        elif ctype == 2:
+            contact = sim["foot_forces"][k]
+        else:
+            contact = sim["contacts"][k]
+        est.input_imu_leg(t[k], sim["acc"][k], sim["gyr"][k], sim["phi"][k],
+                          sim["dphi"][k], contact)
         if k in cam_idx:
             est.input_image(t[k], cam_lookup[k])
             if est.solver_flag == Estimator.NON_LINEAR:

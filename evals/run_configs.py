@@ -147,6 +147,9 @@ def main():
         print("config 5:", results["5_fleet"], flush=True)
 
     with open(args.out, "w") as f:
+        results["_meta"] = dict(platform=jax.devices()[0].platform,
+                                dtype=str(dtype.__name__),
+                                duration_s=args.duration)
         json.dump(results, f, indent=1)
     print(json.dumps({"wrote": args.out, "configs": sorted(results)}))
 

@@ -51,6 +51,40 @@ def test_replay_handles_non_keyframes():
 
 
 @pytest.mark.slow
+def test_replay_go1_contact_type2():
+    """Go1-style config: raw foot forces as contact source (sigmoid contact
+    model in the preintegration), leg-bias optimization off — the reference's
+    go1 yaml settings (contact_sensor_type 2, optimize_leg_bias 0)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(EstimatorConfig(), contact_sensor_type=2,
+                              optimize_leg_bias=False)
+    sim = simulate(SimConfig(duration=3.0, speed=0.5, seed=9))
+    out = replay(sim, cfg=cfg, max_frames=20)
+    est = out["estimator"]
+    assert est.solver_flag == est.NON_LINEAR
+    assert est.stats["reboots"] == 0
+    assert out["ate_rmse"] < 0.03, out["ate_rmse"]
+    # leg bias must stay frozen
+    assert np.all(est.rho == 0.21)
+
+
+@pytest.mark.slow
+def test_replay_ekf_contact_source():
+    """Contact source 0: EKF contact probabilities feed the estimator
+    (reference: main.cpp:319-321 kf.get_contacts())."""
+    from cerberus_tpu.frontend import LeggedEKF
+
+    cfg = EstimatorConfig()  # contact_sensor_type = 0
+    sim = simulate(SimConfig(duration=3.0, speed=0.5, seed=5))
+    ekf = LeggedEKF(cfg, filter_window=4)
+    out = replay(sim, cfg=cfg, max_frames=20, ekf=ekf)
+    est = out["estimator"]
+    assert est.solver_flag == est.NON_LINEAR
+    assert out["ate_rmse"] < 0.03, out["ate_rmse"]
+
+
+@pytest.mark.slow
 def test_rho_calibration_converges():
     """Online kinematic calibration — the reference's RA-L 2022 headline
     capability: with the true calf length 5 mm longer than the estimator's

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cerberus_tpu.loop import PoseGraph, optimize_pose_graph
 from cerberus_tpu.loop.posegraph import _np_rot_z
@@ -69,5 +70,34 @@ def test_posegraph_database_detects_loops():
     # revisit home features -> loop edge to an early keyframe
     pg.add_keyframe(np.array([10.5, 0.3, 0]), 0.0, ids_home)
     assert len(pg.edges) == n_edges_before + 2  # sequential + loop
+    pg.optimize(iters=4)
+    assert np.isfinite(pg.p[: pg.n]).all()
+
+
+@pytest.mark.slow
+def test_estimator_feeds_posegraph():
+    """Integration: the estimator's keyframe_callback (the capability of the
+    reference's keyframe pose/point publishers, visualization.cpp:345-398)
+    streams marginalized keyframes into the PoseGraph back-end."""
+    from cerberus_tpu.config import EstimatorConfig
+    from cerberus_tpu.data import SimConfig, simulate
+    from cerberus_tpu.data.replay import replay
+    from cerberus_tpu.estimator.estimator import Estimator
+    from cerberus_tpu.utils import lie
+
+    pg = PoseGraph(min_overlap=5, min_gap=8)
+    est = Estimator(EstimatorConfig())
+
+    def on_keyframe(t, p, q, ids):
+        yaw = float(np.deg2rad(
+            np.asarray(lie.rot_to_ypr(lie.quat_to_rot(jnp.asarray(q))))[0]))
+        pg.add_keyframe(p, yaw, ids)
+
+    est.keyframe_callback = on_keyframe
+    sim = simulate(SimConfig(duration=3.0, speed=0.5, seed=5))
+    out = replay(sim, est=est, max_frames=20)
+    assert est.solver_flag == est.NON_LINEAR
+    assert pg.n >= 5                       # marg_old keyframes streamed in
+    assert len(pg.edges) >= pg.n - 1       # sequential edges formed
     pg.optimize(iters=4)
     assert np.isfinite(pg.p[: pg.n]).all()
