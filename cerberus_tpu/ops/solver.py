@@ -114,8 +114,11 @@ def _solve_window_impl(state: fac.WindowState, data: fac.WindowData,
             freec = jnp.concatenate([
                 data.free_mask, data.f_valid]).astype(H.dtype)
             N = N * freec[:, None]
-            Q, _ = jnp.linalg.qr(N)                # (dim, 4) orthonormal
-            P = jnp.eye(dim, dtype=H.dtype) - Q @ Q.T
+            # P = I - N (N^T N)^-1 N^T via a 4x4 solve — a tall-skinny QR
+            # here costs ~15 ms/iter at B=128 on TPU (bad tiling), while
+            # this form is three small matmuls on the MXU
+            G = N.T @ N + 1e-10 * jnp.eye(4, dtype=H.dtype)
+            P = jnp.eye(dim, dtype=H.dtype) - N @ jnp.linalg.solve(G, N.T)
             H = P @ H @ P
             b = P @ b
         dx = _damped_solve(H, b, lam, opts)
