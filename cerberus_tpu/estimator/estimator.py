@@ -402,7 +402,8 @@ class Estimator:
             self.preints, feats, prior=self.prior,
             free_mask=self._free_mask(init),
             gravity=(0, 0, self.cfg.g_norm), F=self.F, dtype=self.dtype,
-            calib_prior=(tic_ref, qic_ref, self.cfg.td, cw))
+            calib_prior=(tic_ref, qic_ref, self.cfg.td, cw),
+            use_leg_odom=self.cfg.use_leg_odom)
         depths = self.fm.depth_vector(slots)
         return data, feats, slots, depths
 

@@ -47,6 +47,7 @@ def pack_window_data(
     dtype=jnp.float64,
     cov_jitter: float = 1e-14,
     calib_prior=None,
+    use_leg_odom: bool = True,
 ) -> fac.WindowData:
     """Assemble a WindowData.
 
@@ -88,6 +89,19 @@ def pack_window_data(
     # invalid intervals get identity covariance to keep cholesky defined
     pre_P = jnp.where(valid[:, None, None], pre_P,
                       jnp.eye(31, dtype=dtype)[None])
+    if not use_leg_odom:
+        # vision+IMU-only mode: the reference swaps IMULegFactor for the
+        # 15-dim IMUFactor (estimator.cpp:1122-1171). Same effect here by
+        # decoupling the leg rows (eps 9:21, rho 27:31) and inflating their
+        # variance so the whitened leg residuals carry ~zero information —
+        # the mechanism the reference itself uses for all-feet-airborne
+        # (imu_leg_integration_base.cpp:353-358).
+        leg = np.zeros(31, bool)
+        leg[9:21] = True
+        leg[27:31] = True
+        keep = jnp.asarray(~leg, dtype)
+        pre_P = pre_P * keep[None, :, None] * keep[None, None, :] \
+            + jnp.diag(jnp.asarray(leg, dtype) * 1e10)[None]
     pre_L = whiten_chol(pre_P, jitter=cov_jitter)
     # guard: if cholesky failed (non-PSD), fall back to identity whitening
     bad = jnp.any(jnp.isnan(pre_L), axis=(1, 2))

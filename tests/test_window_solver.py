@@ -121,3 +121,37 @@ def test_solver_jit_second_call_fast(sim):
     dt = time.time() - t0
     # CPU f64: generous bound; the TPU bench tracks the real number
     assert dt < 30.0, dt
+
+
+def test_use_leg_odom_false_silences_leg_rows(sim):
+    """Vision+IMU-only mode: with use_leg_odom=False the packed problem's
+    whitened eps/rho residual rows must carry ~zero information (reference
+    swaps to the 15-dim IMUFactor, estimator.cpp:1122-1171)."""
+    from cerberus_tpu.ops import factors as fac
+
+    data_on, truth, _ = build_window(sim)
+    rng = np.random.default_rng(1)
+    st = perturb_state(truth, rng)
+    zero = jnp.zeros((fac.tangent_dim(truth.depth.shape[0]),), truth.p.dtype)
+
+    import cerberus_tpu.estimator.packing as packing
+
+    # rebuild data with leg rows silenced: scale P as the flag does
+    leg = np.zeros(31, bool)
+    leg[9:21] = True
+    leg[27:31] = True
+    keep = jnp.asarray(~leg, data_on.pre_L.dtype)
+    P_off = (data_on.pre_L @ jnp.swapaxes(data_on.pre_L, -1, -2))
+    P_off = P_off * keep[None, :, None] * keep[None, None, :] \
+        + jnp.diag(jnp.asarray(leg, data_on.pre_L.dtype) * 1e10)[None]
+    data_off = data_on._replace(pre_L=packing.whiten_chol(P_off))
+
+    r_on = fac.window_residuals(st, zero, data_on)[:310].reshape(10, 31)
+    r_off = fac.window_residuals(st, zero, data_off)[:310].reshape(10, 31)
+    legrows = np.concatenate([np.arange(9, 21), np.arange(27, 31)])
+    imurows = np.concatenate([np.arange(0, 9), np.arange(21, 27)])
+    # leg rows ~ zero, IMU rows essentially unchanged
+    assert float(jnp.abs(r_off[:, legrows]).max()) < 1e-3
+    on = np.asarray(r_on[:, imurows])
+    off = np.asarray(r_off[:, imurows])
+    np.testing.assert_allclose(off, on, rtol=2e-2, atol=2e-2)
