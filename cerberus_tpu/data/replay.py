@@ -106,16 +106,27 @@ class _PyCsv:
 
 
 def score(est_p: np.ndarray, gt_p: np.ndarray) -> dict:
-    """ATE after aligning the first pose (position only) + drift %."""
+    """ATE/drift after 4-DoF alignment: first position + optimal yaw.
+
+    Yaw is a gauge freedom of VIO/VILO — the estimator zeroes its initial
+    yaw (g2R, reference: estimator.cpp:524-544) while ground truth starts at
+    an arbitrary heading (e.g. the figure-8 sim starts at 45 deg), so the
+    standard evaluation aligns a rotation about gravity before computing
+    errors (same convention as the TUM/EVO 4-DoF ATE used for VIO)."""
     if len(est_p) < 2:
         return dict(ate_rmse=np.inf, drift_pct=np.inf, distance=0.0)
-    # align first positions (yaw gauge is already shared: estimator starts
-    # yaw-aligned with truth by construction of g2R)
-    off = gt_p[0] - est_p[0]
-    err = est_p + off - gt_p
+    a = est_p - est_p[0]
+    b = gt_p - gt_p[0]
+    # closed-form yaw Procrustes about z: maximize sum of planar dot products
+    num = float(np.sum(a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]))
+    den = float(np.sum(a[:, 0] * b[:, 0] + a[:, 1] * b[:, 1]))
+    th = np.arctan2(num, den)
+    c, s = np.cos(th), np.sin(th)
+    Rz = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    err = a @ Rz.T - b
     ate = float(np.sqrt(np.mean(np.sum(err ** 2, axis=1))))
     dist = float(np.sum(np.linalg.norm(np.diff(gt_p, axis=0), axis=1)))
     final_err = float(np.linalg.norm(err[-1]))
     drift = 100.0 * final_err / max(dist, 1e-9)
     return dict(ate_rmse=ate, drift_pct=drift, distance=dist,
-                final_err=final_err)
+                final_err=final_err, yaw_align_deg=float(np.degrees(th)))
