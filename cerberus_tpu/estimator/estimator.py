@@ -70,8 +70,16 @@ class Estimator:
     INITIAL, NON_LINEAR = 0, 1
 
     def __init__(self, cfg: EstimatorConfig | None = None,
-                 max_samples: int = 256, dtype=jnp.float64,
+                 max_samples: int = 128, dtype=jnp.float64,
                  use_native: bool | None = None):
+        # max_samples: padded per-interval sample capacity for the
+        # preintegration scan. At 500 Hz / 15 Hz an interval holds ~34
+        # samples; MARGIN_SECOND_NEW merges consecutive non-keyframe
+        # intervals, so 128 covers ~3 merges. The scan is SEQUENTIAL —
+        # its length sits directly on the streaming latency path (measured
+        # 58 ms at S=256 vs 33 ms at S=64 on v5e) — so don't oversize it.
+        # Overflow truncates the oldest samples (reference keeps unbounded
+        # std::vectors, estimator.h:141-149).
         self.cfg = cfg or EstimatorConfig()
         self.dtype = dtype
         self.S = max_samples
@@ -94,6 +102,15 @@ class Estimator:
         self._solve = jax.jit(
             lambda st, data: solve_window(
                 st, data, SolveOptions(max_iters=self.cfg.max_num_iterations)))
+
+        # solve + outlier scoring fused in ONE program: a separate reproj
+        # dispatch costs a full relay round-trip per frame in streaming mode
+        def _solve_scored(st, data):
+            new_st, info = solve_window(
+                st, data, SolveOptions(max_iters=self.cfg.max_num_iterations))
+            errs = fac.feature_reproj_errors(new_st, data)
+            return new_st, info, errs
+        self._solve_scored = jax.jit(_solve_scored)
         self._solve_init = jax.jit(
             lambda st, data: solve_window(st, data, SolveOptions(max_iters=20)))
         self._marg_old = jax.jit(marg.marginalize_old)
@@ -212,6 +229,8 @@ class Estimator:
             # mask is updated between stages)
             data, feats_d, slots, depths = self._pack()
             st0 = self._window_state(depths)
+            self.stats["pack_time"] = self.stats.get("pack_time", 0.0) \
+                + (time.time() - t0)
             if getattr(self, "debug", False):
                 self.last_debug = {"entry": _cost_breakdown(st0, data, self.F)}
                 if self.prior is not None:
@@ -219,18 +238,22 @@ class Estimator:
                     j = int(np.argmax(np.abs(dx)))
                     print(f"[prior-dx] |dx|={np.linalg.norm(dx):.2e} "
                           f"argmax dim {j} = {dx[j]:.2e}")
-            st, info = self._solve(st0, data)
-            st_np = jax.device_get(st)  # ONE batched D2H (tunnel-friendly)
+            t1 = time.time()
+            st, info, errs_d = self._solve_scored(st0, data)
+            # ONE batched D2H (tunnel-friendly): state + outlier scores
+            st_np, errs = jax.device_get((st, errs_d))
+            self.stats["solve_only_time"] = \
+                self.stats.get("solve_only_time", 0.0) + (time.time() - t1)
             self._adopt(st_np, slots, feats_d)
             self.last_info = info
             self.stats["solve_time"] += time.time() - t0
             self.stats["solves"] += 1
 
-            # outlier rejection on the post-solve state (same data)
-            st_dev = self._window_state(self.fm.depth_vector(slots))
+            # outlier rejection on the post-solve state (scored in-solve)
             if getattr(self, "debug", False):
+                st_dev = self._window_state(self.fm.depth_vector(slots))
                 self.last_debug["exit"] = _cost_breakdown(st_dev, data, self.F)
-            errs = jax.device_get(self._reproj_err(st_dev, data))[: len(slots)]
+            errs = errs[: len(slots)]
             bad_local = [n for n in range(len(slots))
                          if feats_d["valid"][n]
                          and errs[n] * C.FOCAL_LENGTH > 3.0]

@@ -200,7 +200,11 @@ def _marginalize_old_impl(state: fac.WindowState, data: fac.WindowData):
         f_valid=data.f_valid & anchored0,
         calib_w=jnp.zeros_like(data.calib_w),
     )
-    r, J, _ = fac.linearize(state, sub)
+    # factor-sparse row assembly (equality-tested vs fac.linearize): the
+    # full-width jacfwd alternative costs ~150 ms per marginalization and
+    # serializes behind every streaming solve
+    from cerberus_tpu.ops.structured import linearize_rows
+    r, J = linearize_rows(state, sub)
     # zero the depth columns of non-marginalized features (masked out of the
     # sub-problem anyway) so every depth column can live in the drop group
     dmask = (anchored0 & data.f_valid).astype(dtype)

@@ -133,16 +133,14 @@ def _ileg_residual_k(delta, st: fac.WindowState, data: fac.WindowData, k):
     return jnp.where(data.interval_valid[k], white, 0.0)
 
 
-def build_normal_equations(st: fac.WindowState, data: fac.WindowData):
-    """Assemble (H, b, r0) of the robustified Gauss-Newton system without
-    materializing the stacked Jacobian and without scatter ops. Applies the
-    same Huber IRLS weights and free-mask zeroing as factors.linearize."""
+def _proj_rows(st: fac.WindowState, data: fac.WindowData):
+    """Huber-weighted projection rows: residual r_pw (P, 4) and the widened
+    row block A2 (P*4, 79+F) over the contiguous projection subspace
+    [pose(66) | ex0(6) ex1(6) | td(1) | depth(F)] (see _PROJ_PIECES)."""
     F = st.depth.shape[0]
-    dim = fac.tangent_dim(F)
     dtype = st.p.dtype
     P = F * NF
 
-    # ---- projection factors: per-pair residual + 26-dim jacobian ----
     f_idx = jnp.repeat(jnp.arange(F), NF)
     j_idx = jnp.tile(jnp.arange(NF), F)
     zero26 = jnp.zeros((PROJ_TAN,), dtype)
@@ -168,7 +166,6 @@ def build_normal_equations(st: fac.WindowState, data: fac.WindowData):
     J_pw = J_p * sw[:, :, None]
 
     # ---- widen to the contiguous projection subspace, one-hot on MXU ----
-    # cols: [pose(66) | ex0(6) ex1(6) | td(1) | depth(F)]  width Wp = 79 + F
     Ei = jax.nn.one_hot(data.f_start[f_idx], NF, dtype=dtype)   # (P, 11)
     Ej = jax.nn.one_hot(j_idx, NF, dtype=dtype)                 # (P, 11)
     pose_wide = (
@@ -179,18 +176,35 @@ def build_normal_equations(st: fac.WindowState, data: fac.WindowData):
     depth_wide = J_pw[..., 24:25] * Ed[:, None, :]              # (P, 4, F)
     A = jnp.concatenate([pose_wide, J_pw[..., 12:24],
                          J_pw[..., 25:26], depth_wide], axis=2)
-    Wp = A.shape[2]
-    A2 = A.reshape(P * 4, Wp)
-    H_red = A2.T @ A2
-    b_red = A2.T @ r_pw.reshape(-1)
+    A2 = A.reshape(P * 4, A.shape[2])
+    return r_p, r_pw, A2
 
-    # static placement of the reduced system into the global layout
-    pieces = [  # (reduced start, reduced stop, global start)
+
+def _proj_pieces(F: int):
+    """(reduced start, reduced stop, global start) placement of the
+    projection subspace columns into the global tangent layout."""
+    return [
         (0, 66, fac.POSE_OFF),
         (66, 78, fac.EX0_OFF),
         (78, 79, fac.TD_OFF),
         (79, 79 + F, fac.D_DENSE),
     ]
+
+
+def build_normal_equations(st: fac.WindowState, data: fac.WindowData):
+    """Assemble (H, b, r0) of the robustified Gauss-Newton system without
+    materializing the stacked Jacobian and without scatter ops. Applies the
+    same Huber IRLS weights and free-mask zeroing as factors.linearize."""
+    F = st.depth.shape[0]
+    dim = fac.tangent_dim(F)
+    dtype = st.p.dtype
+
+    r_p, r_pw, A2 = _proj_rows(st, data)
+    H_red = A2.T @ A2
+    b_red = A2.T @ r_pw.reshape(-1)
+
+    # static placement of the reduced system into the global layout
+    pieces = _proj_pieces(F)
     H = jnp.zeros((dim, dim), dtype)
     b = jnp.zeros((dim,), dtype)
     for a0, a1, g0 in pieces:
@@ -247,3 +261,62 @@ def build_normal_equations(st: fac.WindowState, data: fac.WindowData):
                           r_p.reshape(-1),
                           r_prior, r_calib])
     return H, b, r0
+
+
+def linearize_rows(st: fac.WindowState, data: fac.WindowData):
+    """Weighted residual r and dense Jacobian J (N, dim) assembled from the
+    SAME per-factor small Jacobians as build_normal_equations — a drop-in
+    replacement for factors.linearize that avoids the full-width jacfwd
+    (dim ~382 forward passes of the whole residual stack; this path is the
+    marginalization's linearization, which otherwise serializes ~150 ms
+    behind every streaming solve). Row/column layout and IRLS/free-mask
+    treatment match factors.linearize exactly (equality-tested)."""
+    F = st.depth.shape[0]
+    dim = fac.tangent_dim(F)
+    dtype = st.p.dtype
+    N = fac.num_residuals(F)
+
+    J = jnp.zeros((N, dim), dtype)
+
+    # ---- IMU+leg rows: 10 static (31, 38) blocks ----
+    zero38 = jnp.zeros((ILEG_TAN,), dtype)
+    r_il = []
+    for k in range(10):
+        r_k = _ileg_residual_k(zero38, st, data, k)
+        J_k = jax.jacfwd(_ileg_residual_k)(zero38, st, data, k)  # (31, 38)
+        r_il.append(r_k)
+        row = 31 * k
+        segs = [(0, 12, fac.POSE_OFF + 6 * k),
+                (12, 30, fac.SB_OFF + 9 * k),
+                (30, 38, fac.RHO_OFF + 4 * k)]
+        for a0, a1, g0 in segs:
+            J = J.at[row:row + 31, g0:g0 + (a1 - a0)].set(J_k[:, a0:a1])
+
+    # ---- projection rows via the widened row block ----
+    r_p, r_pw, A2 = _proj_rows(st, data)
+    row0 = 310
+    rows = slice(row0, row0 + F * NF * 4)
+    for a0, a1, g0 in _proj_pieces(F):
+        J = J.at[rows, g0:g0 + (a1 - a0)].set(A2[:, a0:a1])
+
+    # ---- prior rows ----
+    r_prior = jnp.where(
+        data.prior_valid,
+        data.prior_r + data.prior_J @ fac.local_diff(st, data.prior_lin), 0.0)
+    Jpr = jnp.where(data.prior_valid, data.prior_J, 0.0)
+    row1 = row0 + F * NF * 4
+    J = J.at[row1:row1 + fac.D_DENSE, : fac.D_DENSE].set(Jpr)
+
+    # ---- calibration prior rows (diagonal on ex0/ex1/td) ----
+    r_calib = fac._calib_residuals(st, data)
+    row2 = row1 + fac.D_DENSE
+    cd = jnp.arange(fac.EX0_OFF, fac.TD_OFF + 1)
+    J = J.at[row2 + jnp.arange(13), cd].set(data.calib_w)
+
+    r = jnp.concatenate([jnp.stack(r_il).reshape(-1), r_pw.reshape(-1),
+                         r_prior, r_calib])
+
+    col_mask = jnp.concatenate([data.free_mask.astype(dtype),
+                                data.f_valid.astype(dtype)])
+    J = J * col_mask[None, :]
+    return r, J

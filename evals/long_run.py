@@ -77,6 +77,10 @@ def main():
         keyframes=est.stats["keyframes"],
         mean_solve_ms=round(1000 * est.stats["solve_time"]
                             / max(est.stats["solves"], 1), 1),
+        mean_pack_ms=round(1000 * est.stats.get("pack_time", 0.0)
+                           / max(est.stats["solves"], 1), 1),
+        mean_solve_only_ms=round(1000 * est.stats.get("solve_only_time", 0.0)
+                                 / max(est.stats["solves"], 1), 1),
         wall_s=round(wall, 1), realtime_factor=round(realtime, 2),
     )))
 

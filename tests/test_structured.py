@@ -64,3 +64,20 @@ def test_structured_solver_matches_dense(problem):
                                atol=1e-6)
     np.testing.assert_allclose(float(info_s.cost), float(info_d.cost),
                                rtol=1e-6)
+
+
+def test_linearize_rows_matches_dense(problem):
+    """linearize_rows (factor-sparse J assembly, used by marginalization)
+    must reproduce factors.linearize's weighted (r, J) exactly."""
+    from cerberus_tpu.ops.structured import linearize_rows
+
+    data, truth, Fa = problem
+    rng = np.random.default_rng(3)
+    st = truth._replace(
+        p=truth.p + jnp.asarray(rng.normal(size=(11, 3)) * 0.02))
+    r_s, J_s = linearize_rows(st, data)
+    r_d, J_d, _ = fac.linearize(st, data)
+    np.testing.assert_allclose(np.asarray(r_s), np.asarray(r_d), atol=1e-9)
+    scale = max(1.0, float(np.abs(np.asarray(J_d)).max()))
+    np.testing.assert_allclose(np.asarray(J_s), np.asarray(J_d),
+                               atol=1e-8 * scale)
