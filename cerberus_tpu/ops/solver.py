@@ -44,6 +44,11 @@ class SolveOptions(NamedTuple):
                                   # space (global translation + yaw) out of
                                   # (H, b) each iteration so roundoff gradient
                                   # along it can never drive a huge step
+    schur: bool = True            # eliminate the (diagonal) inverse-depth
+                                  # block in closed form before the dense
+                                  # Cholesky — algebraically identical to the
+                                  # full solve, O((222+F)^3) -> O(222^3)
+                                  # (requires structured=True)
 
 
 class SolveInfo(NamedTuple):
@@ -62,6 +67,49 @@ def _damped_solve(H, b, lam, opts: SolveOptions):
     L = jnp.linalg.cholesky(A)
     y = jax.scipy.linalg.cho_solve((L, True), -b / d)
     return y / d
+
+
+def _damped_solve_schur(H_pp, H_pd, h_dd, b_p, b_d, lam, opts: SolveOptions):
+    """Schur-on-depth version of _damped_solve: exact closed-form elimination
+    of the diagonal inverse-depth block in the SAME Jacobi-equilibrated,
+    identically-damped system, then a dense Cholesky of only the 222-dim
+    reduced block. Algebraically identical to _damped_solve on the assembled
+    full matrix (tests/test_structured.py enforces agreement)."""
+    d_p = jnp.sqrt(jnp.maximum(jnp.diag(H_pp), opts.diag_floor))
+    d_d = jnp.sqrt(jnp.maximum(h_dd, opts.diag_floor))
+    Hs_pp = H_pp / (d_p[:, None] * d_p[None, :])
+    Hs_pd = H_pd / (d_p[:, None] * d_d[None, :])
+    a_dd = h_dd / (d_d * d_d) + lam + 1e-12          # scaled depth diagonal
+    D = H_pp.shape[0]
+    A_pp = Hs_pp + (lam + 1e-12) * jnp.eye(D, dtype=H_pp.dtype)
+
+    W = Hs_pd / a_dd[None, :]                        # (D, F)
+    S = A_pp - W @ Hs_pd.T
+    rhs = -b_p / d_p + W @ (b_d / d_d)
+    L = jnp.linalg.cholesky(S)
+    y_p = jax.scipy.linalg.cho_solve((L, True), rhs)
+    y_d = (-b_d / d_d - Hs_pd.T @ y_p) / a_dd
+    return jnp.concatenate([y_p / d_p, y_d / d_d])
+
+
+def _project_gauge_blocks(H_pp, H_pd, b_p, st, free_mask):
+    """Rank-4 form of the gauge projection P (.) P on the block system.
+    The gauge basis has support only on pose/speed dims (< D_DENSE), so
+    P = blockdiag(P_dense, I_F): depth rows/cols are untouched. Equivalent
+    to marginalize._project_out_gauge but O(D^2 * 4) instead of O(D^3)."""
+    from cerberus_tpu.ops.marginalize import _gauge_null_basis
+    D = H_pp.shape[0]
+    N = _gauge_null_basis(st, D)
+    N = N * free_mask.astype(H_pp.dtype)[:, None]
+    G = N.T @ N + 1e-10 * jnp.eye(4, dtype=H_pp.dtype)
+    K = jnp.linalg.solve(G, N.T).T                   # N @ G^-1, (D, 4)
+    NH = N.T @ H_pp                                  # (4, D)
+    NHN = NH @ N                                     # (4, 4)
+    H_pp = (H_pp - K @ NH - NH.T @ K.T
+            + K @ NHN @ K.T)
+    H_pd = H_pd - K @ (N.T @ H_pd)
+    b_p = b_p - K @ (N.T @ b_p)
+    return H_pp, H_pd, b_p
 
 
 def solve_window(state: fac.WindowState, data: fac.WindowData,
@@ -94,34 +142,48 @@ def _solve_window_impl(state: fac.WindowState, data: fac.WindowData,
 
     def body(carry):
         st, lam, cost, acc, it, done = carry
-        if opts.structured:
-            from cerberus_tpu.ops.structured import build_normal_equations
-            H, b, _ = build_normal_equations(st, data)
+        if opts.structured and opts.schur:
+            # block assembly + closed-form depth elimination: the depth-depth
+            # Hessian block is diagonal (one inverse depth per projection
+            # row), so the dense Cholesky only ever sees the 222-dim state
+            # block — Ceres' DENSE_SCHUR ordering, done on the MXU.
+            from cerberus_tpu.ops.structured import build_normal_equations_blocks
+            H_pp, H_pd, h_dd, b_p, b_d, _ = \
+                build_normal_equations_blocks(st, data)
+            if opts.project_gauge:
+                H_pp, H_pd, b_p = _project_gauge_blocks(
+                    H_pp, H_pd, b_p, st, data.free_mask)
+            dx = _damped_solve_schur(H_pp, H_pd, h_dd, b_p, b_d, lam, opts)
         else:
-            r, J, _ = fac.linearize(st, data)
-            H = J.T @ J
-            b = J.T @ r
-        if opts.project_gauge:
-            # every factor is relative, so H is exactly singular along global
-            # translation + yaw; numerically those eigenvalues sit at
-            # roundoff scale and b picks up roundoff gradient along them —
-            # at small lam that turns into an arbitrarily large cost-neutral
-            # step (chaotic run-to-run divergence). Remove the subspace
-            # analytically (same basis as ops/marginalize._gauge_null_basis).
-            from cerberus_tpu.ops.marginalize import _gauge_null_basis
-            dim = H.shape[0]
-            N = _gauge_null_basis(st, dim)
-            freec = jnp.concatenate([
-                data.free_mask, data.f_valid]).astype(H.dtype)
-            N = N * freec[:, None]
-            # P = I - N (N^T N)^-1 N^T via a 4x4 solve — a tall-skinny QR
-            # here costs ~15 ms/iter at B=128 on TPU (bad tiling), while
-            # this form is three small matmuls on the MXU
-            G = N.T @ N + 1e-10 * jnp.eye(4, dtype=H.dtype)
-            P = jnp.eye(dim, dtype=H.dtype) - N @ jnp.linalg.solve(G, N.T)
-            H = P @ H @ P
-            b = P @ b
-        dx = _damped_solve(H, b, lam, opts)
+            if opts.structured:
+                from cerberus_tpu.ops.structured import build_normal_equations
+                H, b, _ = build_normal_equations(st, data)
+            else:
+                r, J, _ = fac.linearize(st, data)
+                H = J.T @ J
+                b = J.T @ r
+            if opts.project_gauge:
+                # every factor is relative, so H is exactly singular along
+                # global translation + yaw; numerically those eigenvalues sit
+                # at roundoff scale and b picks up roundoff gradient along
+                # them — at small lam that turns into an arbitrarily large
+                # cost-neutral step (chaotic run-to-run divergence). Remove
+                # the subspace analytically (same basis as
+                # ops/marginalize._gauge_null_basis).
+                from cerberus_tpu.ops.marginalize import _gauge_null_basis
+                dim = H.shape[0]
+                N = _gauge_null_basis(st, dim)
+                freec = jnp.concatenate([
+                    data.free_mask, data.f_valid]).astype(H.dtype)
+                N = N * freec[:, None]
+                # P = I - N (N^T N)^-1 N^T via a 4x4 solve — a tall-skinny QR
+                # here costs ~15 ms/iter at B=128 on TPU (bad tiling), while
+                # this form is three small matmuls on the MXU
+                G = N.T @ N + 1e-10 * jnp.eye(4, dtype=H.dtype)
+                P = jnp.eye(dim, dtype=H.dtype) - N @ jnp.linalg.solve(G, N.T)
+                H = P @ H @ P
+                b = P @ b
+            dx = _damped_solve(H, b, lam, opts)
         mx = jnp.max(jnp.abs(dx))
         dx = dx * jnp.minimum(1.0, opts.step_clip / jnp.maximum(mx, 1e-30))
         cand = fac.retract(st, dx)

@@ -133,10 +133,15 @@ def _ileg_residual_k(delta, st: fac.WindowState, data: fac.WindowData, k):
     return jnp.where(data.interval_valid[k], white, 0.0)
 
 
-def _proj_rows(st: fac.WindowState, data: fac.WindowData):
-    """Huber-weighted projection rows: residual r_pw (P, 4) and the widened
-    row block A2 (P*4, 79+F) over the contiguous projection subspace
-    [pose(66) | ex0(6) ex1(6) | td(1) | depth(F)] (see _PROJ_PIECES)."""
+def _proj_rows_split(st: fac.WindowState, data: fac.WindowData):
+    """Huber-weighted projection rows, depth column kept separate: residuals
+    r_p / r_pw (P, 4), the dense row block A79 (P*4, 79) over
+    [pose(66) | ex0(6) ex1(6) | td(1)], and the per-row depth derivative
+    jd (P*4,). Rows are feature-major: row = (f * NF + j) * 4 + comp, so a
+    reshape to (F, NF*4, ...) groups each feature's rows contiguously — the
+    depth block of the Gauss-Newton Hessian is therefore DIAGONAL and the
+    pose-depth coupling is a batched small contraction (the same structure
+    Ceres' DENSE_SCHUR exploits, reference estimator.cpp:1223)."""
     F = st.depth.shape[0]
     dtype = st.p.dtype
     P = F * NF
@@ -165,18 +170,28 @@ def _proj_rows(st: fac.WindowState, data: fac.WindowData):
     r_pw = r_p * sw
     J_pw = J_p * sw[:, :, None]
 
-    # ---- widen to the contiguous projection subspace, one-hot on MXU ----
+    # ---- widen to the contiguous dense projection subspace (MXU one-hot) --
     Ei = jax.nn.one_hot(data.f_start[f_idx], NF, dtype=dtype)   # (P, 11)
     Ej = jax.nn.one_hot(j_idx, NF, dtype=dtype)                 # (P, 11)
     pose_wide = (
         jnp.einsum("pab,pi->paib", J_pw[..., 0:6], Ei)
         + jnp.einsum("pab,pi->paib", J_pw[..., 6:12], Ej)
     ).reshape(P, 4, 6 * NF)
-    Ed = jax.nn.one_hot(f_idx, F, dtype=dtype)                  # (P, F)
-    depth_wide = J_pw[..., 24:25] * Ed[:, None, :]              # (P, 4, F)
-    A = jnp.concatenate([pose_wide, J_pw[..., 12:24],
-                         J_pw[..., 25:26], depth_wide], axis=2)
-    A2 = A.reshape(P * 4, A.shape[2])
+    A79 = jnp.concatenate([pose_wide, J_pw[..., 12:24],
+                           J_pw[..., 25:26]], axis=2).reshape(P * 4, 79)
+    jd = J_pw[..., 24].reshape(P * 4)
+    return r_p, r_pw, A79, jd
+
+
+def _proj_rows(st: fac.WindowState, data: fac.WindowData):
+    """Huber-weighted projection rows: residual r_pw (P, 4) and the widened
+    row block A2 (P*4, 79+F) over the contiguous projection subspace
+    [pose(66) | ex0(6) ex1(6) | td(1) | depth(F)] (see _proj_pieces)."""
+    F = st.depth.shape[0]
+    r_p, r_pw, A79, jd = _proj_rows_split(st, data)
+    f_idx4 = jnp.repeat(jnp.repeat(jnp.arange(F), NF), 4)
+    Ed = jax.nn.one_hot(f_idx4, F, dtype=A79.dtype)             # (P*4, F)
+    A2 = jnp.concatenate([A79, jd[:, None] * Ed], axis=1)
     return r_p, r_pw, A2
 
 
@@ -191,27 +206,45 @@ def _proj_pieces(F: int):
     ]
 
 
-def build_normal_equations(st: fac.WindowState, data: fac.WindowData):
-    """Assemble (H, b, r0) of the robustified Gauss-Newton system without
-    materializing the stacked Jacobian and without scatter ops. Applies the
-    same Huber IRLS weights and free-mask zeroing as factors.linearize."""
+def build_normal_equations_blocks(st: fac.WindowState, data: fac.WindowData):
+    """Assemble the Gauss-Newton normal equations in depth-Schur block form:
+
+        (H_pp (222,222), H_pd (222,F), h_dd (F,), b_p (222,), b_d (F,), r0)
+
+    where the full system is H = [[H_pp, H_pd], [H_pd^T, diag(h_dd)]] and
+    b = [b_p, b_d]. The depth-depth block is diagonal by construction (each
+    projection row touches exactly one inverse depth), so the F columns are
+    never materialized as a dense block — the solver eliminates them in
+    closed form (ops/solver._damped_solve_schur), the TPU analog of Ceres'
+    DENSE_SCHUR ordering (reference estimator.cpp:1223). Huber IRLS weights
+    and free-mask zeroing match factors.linearize exactly."""
     F = st.depth.shape[0]
-    dim = fac.tangent_dim(F)
     dtype = st.p.dtype
 
-    r_p, r_pw, A2 = _proj_rows(st, data)
-    H_red = A2.T @ A2
-    b_red = A2.T @ r_pw.reshape(-1)
+    r_p, r_pw, A79, jd = _proj_rows_split(st, data)
+    b79 = A79.T @ r_pw.reshape(-1)
 
-    # static placement of the reduced system into the global layout
-    pieces = _proj_pieces(F)
-    H = jnp.zeros((dim, dim), dtype)
-    b = jnp.zeros((dim,), dtype)
-    for a0, a1, g0 in pieces:
-        b = b.at[g0:g0 + (a1 - a0)].add(b_red[a0:a1])
-        for b0, b1, h0 in pieces:
-            H = H.at[g0:g0 + (a1 - a0), h0:h0 + (b1 - b0)].add(
-                H_red[a0:a1, b0:b1])
+    # per-feature grouped views: rows (f, j, comp) → (F, NF*4)
+    A_g = A79.reshape(F, NF * 4, 79)
+    jd_g = jd.reshape(F, NF * 4)
+    rw_g = r_pw.reshape(F, NF * 4)
+
+    H79 = A79.T @ A79                                      # (79, 79)
+    Hpd79 = jnp.einsum("fnc,fn->cf", A_g, jd_g)            # (79, F)
+    h_dd = jnp.einsum("fn,fn->f", jd_g, jd_g)              # (F,)
+    b_d = jnp.einsum("fn,fn->f", jd_g, rw_g)               # (F,)
+
+    D = fac.D_DENSE
+    H_pp = jnp.zeros((D, D), dtype)
+    H_pd = jnp.zeros((D, F), dtype)
+    b_p = jnp.zeros((D,), dtype)
+    dense_pieces = _proj_pieces(F)[:3]
+    for a0, a1, g0 in dense_pieces:
+        b_p = b_p.at[g0:g0 + (a1 - a0)].add(b79[a0:a1])
+        H_pd = H_pd.at[g0:g0 + (a1 - a0), :].add(Hpd79[a0:a1, :])
+        for b0, b1, h0 in dense_pieces:
+            H_pp = H_pp.at[g0:g0 + (a1 - a0), h0:h0 + (b1 - b0)].add(
+                H79[a0:a1, b0:b1])
 
     # ---- IMU+leg factors: 10 static placements (unrolled) ----
     zero38 = jnp.zeros((ILEG_TAN,), dtype)
@@ -228,18 +261,18 @@ def build_normal_equations(st: fac.WindowState, data: fac.WindowData):
             (30, 38, fac.RHO_OFF + 4 * k),
         ]
         for a0, a1, g0 in segs:
-            b = b.at[g0:g0 + (a1 - a0)].add(bk[a0:a1])
+            b_p = b_p.at[g0:g0 + (a1 - a0)].add(bk[a0:a1])
             for b0, b1, h0 in segs:
-                H = H.at[g0:g0 + (a1 - a0), h0:h0 + (b1 - b0)].add(
+                H_pp = H_pp.at[g0:g0 + (a1 - a0), h0:h0 + (b1 - b0)].add(
                     Hk[a0:a1, b0:b1])
 
-    # ---- prior ----
+    # ---- prior (dense block only: the prior never references depths) ----
     r_prior = jnp.where(
         data.prior_valid,
         data.prior_r + data.prior_J @ fac.local_diff(st, data.prior_lin), 0.0)
     Jpr = jnp.where(data.prior_valid, data.prior_J, 0.0)
-    H = H.at[: fac.D_DENSE, : fac.D_DENSE].add(Jpr.T @ Jpr)
-    b = b.at[: fac.D_DENSE].add(Jpr.T @ r_prior)
+    H_pp = H_pp + Jpr.T @ Jpr
+    b_p = b_p + Jpr.T @ r_prior
 
     # ---- standing calibration prior (13 diagonal rows on ex0/ex1/td;
     # factors._calib_residuals). J ~ calib_w * I on those dims (exact for
@@ -247,19 +280,44 @@ def build_normal_equations(st: fac.WindowState, data: fac.WindowData):
     # weak prior).
     r_calib = fac._calib_residuals(st, data)
     cd = jnp.arange(fac.EX0_OFF, fac.TD_OFF + 1)
-    H = H.at[cd, cd].add(data.calib_w ** 2)
-    b = b.at[cd].add(data.calib_w * r_calib)
+    H_pp = H_pp.at[cd, cd].add(data.calib_w ** 2)
+    b_p = b_p.at[cd].add(data.calib_w * r_calib)
 
     # ---- free-mask (zero rows+cols of frozen dims) ----
-    col_mask = jnp.concatenate([data.free_mask.astype(dtype),
-                                data.f_valid.astype(dtype)])
-    H = H * col_mask[:, None] * col_mask[None, :]
-    b = b * col_mask
+    mp = data.free_mask.astype(dtype)
+    md = data.f_valid.astype(dtype)
+    H_pp = H_pp * mp[:, None] * mp[None, :]
+    H_pd = H_pd * mp[:, None] * md[None, :]
+    h_dd = h_dd * md
+    b_p = b_p * mp
+    b_d = b_d * md
 
     # residual vector for cost bookkeeping (same ordering as factors stack)
     r0 = jnp.concatenate([jnp.stack(r_il_list).reshape(-1),
                           r_p.reshape(-1),
                           r_prior, r_calib])
+    return H_pp, H_pd, h_dd, b_p, b_d, r0
+
+
+def build_normal_equations(st: fac.WindowState, data: fac.WindowData):
+    """Assemble (H, b, r0) of the robustified Gauss-Newton system without
+    materializing the stacked Jacobian and without scatter ops. Applies the
+    same Huber IRLS weights and free-mask zeroing as factors.linearize.
+    Full-matrix view of build_normal_equations_blocks (the solver's Schur
+    path consumes the blocks directly)."""
+    F = st.depth.shape[0]
+    dim = fac.tangent_dim(F)
+    dtype = st.p.dtype
+    H_pp, H_pd, h_dd, b_p, b_d, r0 = build_normal_equations_blocks(st, data)
+
+    D = fac.D_DENSE
+    H = jnp.zeros((dim, dim), dtype)
+    H = H.at[:D, :D].set(H_pp)
+    H = H.at[:D, D:].set(H_pd)
+    H = H.at[D:, :D].set(H_pd.T)
+    di = jnp.arange(F)
+    H = H.at[D + di, D + di].set(h_dd)
+    b = jnp.concatenate([b_p, b_d])
     return H, b, r0
 
 
