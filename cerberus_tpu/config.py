@@ -107,6 +107,17 @@ class NoiseConfig:
     v_n_term1_steep: float = 10.0
     v_n_term2_var_rescale: float = 1e-6
     v_n_term3_distance_rescale: float = 1e-3
+    # legged-EKF noise (the reference's kalmanFilter submodule is not
+    # vendored, so these keys are this framework's own; defaults tuned on the
+    # simulator — loadable from YAML like every other noise key)
+    ekf_acc_n: float = 0.05
+    ekf_gyr_n: float = 0.005
+    ekf_foot_walk_contact: float = 1e-4
+    ekf_foot_walk_swing: float = 10.0
+    ekf_meas_fk_n: float = 1e-3
+    ekf_meas_vel_n: float = 5e-2
+    ekf_meas_height_n: float = 1e-2
+    ekf_contact_force_thresh: float = 30.0
 
 
 @dataclass(frozen=True)
@@ -125,6 +136,10 @@ class EstimatorConfig:
 
     estimate_extrinsic: bool = True
     estimate_td: bool = False
+    # PnP pose recovery when vision strongly disagrees with dead-reckoning
+    # (reference only runs PnP in NON_LINEAR when !USE_IMU,
+    # estimator.cpp:806-808; the recovery gate is this framework's addition)
+    pnp_fallback: bool = True
     td: float = 0.0024
     g_norm: float = 9.805
 

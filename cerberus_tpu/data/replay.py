@@ -91,6 +91,119 @@ def replay(sim: dict, cfg: EstimatorConfig | None = None,
                 estimator=est, **metrics)
 
 
+def replay_images(sim: dict, cfg=None, est: Estimator | None = None,
+                  tracker=None, renderer=None, max_frames: int | None = None,
+                  csv_path: str | None = None, ekf=None,
+                  use_prediction: bool = True) -> dict:
+    """Full-pipeline replay: rendered stereo images -> feature tracker ->
+    estimator — the reference's actual hot path (main.cpp:95-133
+    sync_process -> inputImage -> trackImage -> processMeasurements),
+    which plain `replay()` bypasses by injecting ideal features.
+
+    tracker: FeatureTracker or DeviceTracker (anything with
+      .track(t, img0, img1) -> feature dict and .set_prediction(pixels)).
+      Defaults to the OpenCV front-end with the sim pinhole model.
+    renderer: ImageRenderer (built from sim when None).
+    """
+    from cerberus_tpu.data.simulator import ImageRenderer
+
+    est = est or Estimator(cfg)
+    if renderer is None:
+        renderer = ImageRenderer(sim, est.cfg)
+    if tracker is None:
+        from cerberus_tpu.frontend.tracker import FeatureTracker, PinholeCamera
+        f = renderer.f
+        cams = [PinholeCamera(f, f, renderer.cx, renderer.cy,
+                              size=(renderer.W, renderer.H))
+                for _ in range(2)]
+        tracker = FeatureTracker(cams[0], cams[1], max_cnt=est.cfg.max_cnt,
+                                 min_dist=est.cfg.min_dist,
+                                 flow_back=est.cfg.flow_back)
+
+    if use_prediction:
+        # estimator cam-frame predictions -> pixel seeds for the next track
+        # (reference: predictPtsInNextFrame -> setPrediction,
+        # estimator.cpp:1694-1739 + feature_tracker.cpp:501-518)
+        f, cx, cy = renderer.f, renderer.cx, renderer.cy
+
+        def _seed(pred_cam: dict):
+            px = {}
+            for fid, pc in pred_cam.items():
+                if pc[2] > 0.1:
+                    px[fid] = np.array([f * pc[0] / pc[2] + cx,
+                                        f * pc[1] / pc[2] + cy])
+            tracker.set_prediction(px)
+
+        est.predict_callback = _seed
+
+    t = sim["t"]
+    cam_idx = set(int(i) for i in sim["cam_idx"])
+    if max_frames is not None:
+        cam_idx = set(sorted(cam_idx)[:max_frames])
+
+    est_t, est_p, est_q, gt_p = [], [], [], []
+    writer = None
+    if csv_path:
+        header = ("t_ns,px,py,pz,vx,vy,vz,kf_px,kf_py,kf_pz,kf_vx,kf_vy,"
+                  "kf_vz,gt_x,gt_y,gt_z,rho1,rho2,rho3,rho4")
+        try:
+            from cerberus_tpu.native import CsvWriter
+            writer = CsvWriter(csv_path, header)
+        except Exception:
+            writer = _PyCsv(csv_path, header)
+    ctype = est.cfg.contact_sensor_type
+    track_ms = 0.0
+    render_ms = 0.0
+    import time as _time
+    for k in range(len(t)):
+        if ekf is not None:
+            if not ekf.is_inited():
+                ekf.init_filter(t[k], sim["acc"][k], sim["gyr"][k],
+                                sim["phi"][k])
+            else:
+                ekf.update_filter(t[k], sim["acc"][k], sim["gyr"][k],
+                                  sim["phi"][k], dphi=sim["dphi"][k],
+                                  foot_force=sim["foot_forces"][k])
+        if ctype == 0 and ekf is not None and ekf.is_inited():
+            contact = ekf.get_contacts()
+        elif ctype == 2:
+            contact = sim["foot_forces"][k]
+        else:
+            contact = sim["contacts"][k]
+        est.input_imu_leg(t[k], sim["acc"][k], sim["gyr"][k], sim["phi"][k],
+                          sim["dphi"][k], contact)
+        if k in cam_idx:
+            t0 = _time.time()
+            img0, img1 = renderer.render_stereo(k)
+            t1 = _time.time()
+            feats = tracker.track(t[k], img0, img1)
+            t2 = _time.time()
+            render_ms += (t1 - t0) * 1000
+            track_ms += (t2 - t1) * 1000
+            est.input_image(t[k], feats)
+            if est.solver_flag == Estimator.NON_LINEAR:
+                p, q = est.pose
+                est_t.append(t[k])
+                est_p.append(p)
+                est_q.append(q)
+                gt_p.append(sim["p"][k])
+                if writer is not None:
+                    kf = (ekf.get_state()[:6] if ekf is not None
+                          and ekf.is_inited() else np.zeros(6))
+                    writer.row([t[k] * 1e9, *p, *est.velocity, *kf[0:3],
+                                *kf[3:6], *sim["p"][k], *est.rho[-1]])
+    if writer is not None:
+        writer.close()
+    est_p = np.array(est_p) if est_p else np.zeros((0, 3))
+    gt_p = np.array(gt_p) if gt_p else np.zeros((0, 3))
+    metrics = score(est_p, gt_p)
+    n_frames = max(len(cam_idx), 1)
+    return dict(est_t=np.array(est_t), est_p=est_p, est_q=est_q, gt_p=gt_p,
+                estimator=est, tracker=tracker,
+                render_ms_per_frame=render_ms / n_frames,
+                track_ms_per_frame=track_ms / n_frames, **metrics)
+
+
 class _PyCsv:
     """Pure-python fallback for the native CsvWriter."""
 

@@ -374,5 +374,122 @@ def simulate(cfg: SimConfig, est_cfg: EstimatorConfig | None = None) -> dict:
         contacts=contacts, foot_forces=foot_forces,
         cam_t=cam_t, cam_idx=cam_idx, features=feat_frames, landmarks=lm,
         acc_bias=np.array(cfg.acc_bias), gyr_bias=np.array(cfg.gyr_bias),
-        rho=rho, gravity=g,
+        rho=rho, gravity=g, sim_cfg=cfg,
     )
+
+
+class ImageRenderer:
+    """Render the simulated scene into stereo grayscale images so the REAL
+    vision front-end (CLAHE + KLT + stereo matching + replenishment) can run
+    end-to-end, exactly as the reference consumes camera frames
+    (reference: main.cpp:95-133 sync_process -> inputImage ->
+    feature_tracker.cpp:94-302 trackImage).
+
+    Each landmark is drawn as a small anisotropic Gaussian 'texture blob'
+    with a fixed per-landmark appearance (amplitude, width, ellipticity) so
+    it is a stable, distinctive corner target for Shi-Tomasi + LK across
+    frames and across the stereo pair. A static star-field of very distant
+    background blobs adds clutter that parallax cannot distinguish — the
+    outlier-rejection path gets exercised. Occlusion is ignored (sparse
+    points), distortion is zero (reference cameras are rectified realsense
+    infra, config/a1_config yamls).
+    """
+
+    K_SUB = 4  # sub-blobs per landmark texture cluster
+
+    def __init__(self, sim: dict, est_cfg: EstimatorConfig | None = None,
+                 focal: float = 460.0, seed: int = 11,
+                 n_background: int = 80, pixel_noise: float = 2.0):
+        self.sim = sim
+        self.cfg = est_cfg or EstimatorConfig()
+        self.f = focal
+        self.W, self.H = self.cfg.image_width, self.cfg.image_height
+        self.cx, self.cy = self.W / 2.0, self.H / 2.0
+        rng = np.random.default_rng(seed)
+        lm = sim["landmarks"]
+        self.lm = lm
+        n = len(lm)
+        # per-landmark appearance: a cluster of K sub-blobs with random
+        # offsets/amplitudes/shapes = a distinctive local texture (a single
+        # Gaussian is trackable but not DISCRIMINATIVE — every landmark
+        # would look alike to the loop-closure patch matcher). Offsets are
+        # defined at a 5 m reference depth and scale projectively with 1/z.
+        K = self.K_SUB
+        self.sub_off = rng.normal(size=(n, K, 2)) * 2.2
+        self.sub_off[:, 0] = 0.0                   # one blob at the center
+        self.amp = rng.uniform(60.0, 190.0, (n, K))
+        self.sigma = rng.uniform(0.9, 1.8, (n, K))
+        self.ecc = rng.uniform(0.6, 1.0, (n, K))   # ellipticity
+        self.theta = rng.uniform(0, np.pi, (n, K))  # orientation
+        self.pixel_noise = pixel_noise
+        self.max_view = sim["sim_cfg"].max_view_dist if "sim_cfg" in sim \
+            else 12.0
+        # background star field at quasi-infinite depth (pure rotation cue)
+        self.bg_dirs = rng.normal(size=(n_background, 3))
+        self.bg_dirs /= np.linalg.norm(self.bg_dirs, axis=1, keepdims=True)
+        self.bg_dirs[:, 2] = np.abs(self.bg_dirs[:, 2]) + 0.2  # hemisphere
+        self.bg_amp = rng.uniform(30.0, 70.0, n_background)
+        self._ric, self._tic = self.cfg.ric_tic()
+        self._noise_rng = np.random.default_rng(seed + 1)
+
+    def camera_pose(self, k: int, cam: int):
+        """World-from-camera pose at IMU sample index k."""
+        Rk, pk = self.sim["R"][k], self.sim["p"][k]
+        Rwc = Rk @ self._ric[cam]
+        twc = Rk @ self._tic[cam] + pk
+        return Rwc, twc
+
+    def render(self, k: int, cam: int) -> np.ndarray:
+        """uint8 (H, W) grayscale image at IMU sample index k."""
+        Rwc, twc = self.camera_pose(k, cam)
+        img = np.zeros((self.H, self.W), np.float32)
+
+        pc = (self.lm - twc) @ Rwc
+        z = pc[:, 2]
+        vis = (z > 0.3) & (z < self.max_view * 1.3)
+        u = self.f * pc[:, 0] / np.where(vis, z, 1.0) + self.cx
+        v = self.f * pc[:, 1] / np.where(vis, z, 1.0) + self.cy
+        pad = 8
+        vis &= (u > -pad) & (u < self.W + pad) & (v > -pad) & (v < self.H + pad)
+        for i in np.nonzero(vis)[0]:
+            s = np.clip(5.0 / z[i], 0.5, 2.5)     # projective texture scale
+            for k in range(self.K_SUB):
+                self._splat(img, u[i] + s * self.sub_off[i, k, 0],
+                            v[i] + s * self.sub_off[i, k, 1],
+                            self.amp[i, k], max(s * self.sigma[i, k], 0.7),
+                            self.ecc[i, k], self.theta[i, k])
+        # background blobs: direction-only projection (infinite depth)
+        dc = self.bg_dirs @ Rwc
+        bz = dc[:, 2]
+        bvis = bz > 0.05
+        bu = self.f * dc[:, 0] / np.where(bvis, bz, 1.0) + self.cx
+        bv = self.f * dc[:, 1] / np.where(bvis, bz, 1.0) + self.cy
+        bvis &= (bu > -pad) & (bu < self.W + pad) & (bv > -pad) \
+            & (bv < self.H + pad)
+        for i in np.nonzero(bvis)[0]:
+            self._splat(img, bu[i], bv[i], self.bg_amp[i], 1.6, 0.9, 0.0)
+        if self.pixel_noise > 0:
+            img += self._noise_rng.normal(
+                size=img.shape).astype(np.float32) * self.pixel_noise
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    def render_stereo(self, k: int):
+        return self.render(k, 0), self.render(k, 1)
+
+    def _splat(self, img, u, v, amp, sigma, ecc, theta):
+        """Add an anisotropic Gaussian blob at subpixel (u, v)."""
+        r = int(np.ceil(3.5 * sigma)) + 1
+        x0, x1 = int(np.floor(u)) - r, int(np.floor(u)) + r + 1
+        y0, y1 = int(np.floor(v)) - r, int(np.floor(v)) + r + 1
+        xa, xb = max(x0, 0), min(x1, self.W)
+        ya, yb = max(y0, 0), min(y1, self.H)
+        if xa >= xb or ya >= yb:
+            return
+        xs = np.arange(xa, xb) - u
+        ys = np.arange(ya, yb) - v
+        X, Y = np.meshgrid(xs, ys)
+        c, s = np.cos(theta), np.sin(theta)
+        xr = c * X + s * Y
+        yr = -s * X + c * Y
+        g = amp * np.exp(-(xr ** 2 + (yr / ecc) ** 2) / (2 * sigma ** 2))
+        img[ya:yb, xa:xb] += g.astype(np.float32)

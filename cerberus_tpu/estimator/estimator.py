@@ -22,6 +22,7 @@ estimator.cpp:400-846):
 
 from __future__ import annotations
 
+import functools as _functools
 import time
 from dataclasses import dataclass, field
 
@@ -41,6 +42,42 @@ from cerberus_tpu.utils import lie
 
 NF = C.NUM_FRAMES
 MARGIN_OLD, MARGIN_SECOND_NEW = 0, 1
+
+
+@_functools.lru_cache(maxsize=None)
+def _preint_kernel(contact_sensor_type: int):
+    """Shared preintegration kernel per contact model (the contact type
+    selects a Python-level branch inside il_preintegrate, so it must stay
+    static — the remaining PreintParams fields are traced arrays)."""
+    def f(dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho, params):
+        params = params._replace(contact_sensor_type=contact_sensor_type)
+        return il_preintegrate(dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho,
+                               params)
+    return jax.jit(f)
+
+
+@_functools.lru_cache(maxsize=None)
+def _shared_kernels(max_iters: int) -> dict:
+    """Process-wide jitted kernels, one set per solver iteration budget."""
+    opts = SolveOptions(max_iters=max_iters)
+
+    def _solve_scored(st, data):
+        # solve + outlier scoring fused in ONE program: a separate reproj
+        # dispatch costs a full relay round-trip per frame in streaming mode
+        new_st, info = solve_window(st, data, opts)
+        errs = fac.feature_reproj_errors(new_st, data)
+        return new_st, info, errs
+
+    return dict(
+        solve=jax.jit(lambda st, data: solve_window(st, data, opts)),
+        solve_scored=jax.jit(_solve_scored),
+        solve_init=jax.jit(
+            lambda st, data: solve_window(st, data,
+                                          SolveOptions(max_iters=20))),
+        marg_old=jax.jit(marg.marginalize_old),
+        marg_new=jax.jit(marg.marginalize_second_new),
+        reproj=jax.jit(fac.feature_reproj_errors),
+    )
 
 
 @dataclass
@@ -64,6 +101,71 @@ class IntervalBuffer:
 
     def __len__(self):
         return len(self.t)
+
+
+class PySensorSync:
+    """Pure-Python fallback of native.SensorSync with IDENTICAL extract
+    semantics: all samples in (t0, t1], plus boundary samples lerped to
+    exactly t0 / t1 when neighbors exist (contacts snap to the nearest
+    sample). Mirrors native/sensor_sync.cpp::sync_extract, itself modeled on
+    the reference's boundary interpolation (utility.cpp:24-104
+    lerpGyro/lerpLegSensors used by getIMUAndLegInterval,
+    estimator.cpp:303-397)."""
+
+    COLS = 35  # t, acc3, gyr3, phi12, dphi12, contact4
+
+    def __init__(self, capacity: int = 1 << 20):
+        self.buf: list[np.ndarray] = []
+        self.capacity = capacity
+
+    def push(self, t, acc, gyr, phi, dphi, contact):
+        row = np.empty(self.COLS)
+        row[0] = t
+        row[1:4] = acc
+        row[4:7] = gyr
+        row[7:19] = phi
+        row[19:31] = dphi
+        row[31:35] = contact
+        self.buf.append(row)
+        if len(self.buf) > self.capacity:
+            del self.buf[: len(self.buf) - self.capacity]
+
+    def latest_time(self) -> float:
+        return self.buf[-1][0] if self.buf else -1.0
+
+    @staticmethod
+    def _lerp(a, b, t):
+        w = (t - a[0]) / (b[0] - a[0] + 1e-18)
+        out = a + (b - a) * w
+        out[0] = t
+        out[31:35] = a[31:35] if w < 0.5 else b[31:35]  # snap flags
+        return out
+
+    def extract(self, t0: float, t1: float, max_out: int = 4096):
+        """Rows (n, 35) for (t0, t1] with boundary lerp, or None if the
+        stream has not yet reached t1. Consumes rows older than the last
+        interval so the next extract can still boundary-interpolate."""
+        if not self.buf or self.buf[-1][0] < t1:
+            return None
+        rows = []
+        i, n = 0, len(self.buf)
+        prev = None
+        while i < n and self.buf[i][0] <= t0:
+            prev = self.buf[i]
+            i += 1
+        if prev is not None and i < n:
+            rows.append(self._lerp(prev, self.buf[i], t0))
+        while i < n and self.buf[i][0] <= t1:
+            rows.append(self.buf[i])
+            prev = self.buf[i]
+            i += 1
+        if i < n and prev is not None and prev[0] < t1:
+            rows.append(self._lerp(prev, self.buf[i], t1))
+        if i > 1:
+            del self.buf[: i - 1]
+        if len(rows) > max_out:
+            rows = rows[:max_out]
+        return np.stack(rows) if rows else np.zeros((0, self.COLS))
 
 
 class Estimator:
@@ -94,28 +196,23 @@ class Estimator:
         self.fm = FeatureManager(self.F, self.cfg.min_parallax)
         self.clear_state()
 
-        # jitted device kernels (shapes static per instance)
-        self._preint = jax.jit(
-            lambda dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho:
-            il_preintegrate(dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho,
-                            self.params))
-        self._solve = jax.jit(
-            lambda st, data: solve_window(
-                st, data, SolveOptions(max_iters=self.cfg.max_num_iterations)))
+        # jitted device kernels — SHARED across Estimator instances (module
+        # cache keyed by iteration budget; jax.jit then dedups on arg
+        # shapes/dtypes). Per-instance closures would recompile the full
+        # solver for every new Estimator — the round-1 test suite spent most
+        # of its >25 min doing exactly that.
+        k = _shared_kernels(self.cfg.max_num_iterations)
+        self._preint_k = _preint_kernel(self.cfg.contact_sensor_type)
+        self._solve = k["solve"]
+        self._solve_scored = k["solve_scored"]
+        self._solve_init = k["solve_init"]
+        self._marg_old = k["marg_old"]
+        self._marg_new = k["marg_new"]
+        self._reproj_err = k["reproj"]
 
-        # solve + outlier scoring fused in ONE program: a separate reproj
-        # dispatch costs a full relay round-trip per frame in streaming mode
-        def _solve_scored(st, data):
-            new_st, info = solve_window(
-                st, data, SolveOptions(max_iters=self.cfg.max_num_iterations))
-            errs = fac.feature_reproj_errors(new_st, data)
-            return new_st, info, errs
-        self._solve_scored = jax.jit(_solve_scored)
-        self._solve_init = jax.jit(
-            lambda st, data: solve_window(st, data, SolveOptions(max_iters=20)))
-        self._marg_old = jax.jit(marg.marginalize_old)
-        self._marg_new = jax.jit(marg.marginalize_second_new)
-        self._reproj_err = jax.jit(fac.feature_reproj_errors)
+    def _preint(self, dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho):
+        return self._preint_k(dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho,
+                              self.params)
 
     # ------------------------------------------------------------------
     def clear_state(self):
@@ -141,19 +238,22 @@ class Estimator:
         self.buffers: list[IntervalBuffer | None] = [None] * 10
         self.preints = [None] * 10
         self.prior = None          # (J, r, lin_state)
-        self.pending = IntervalBuffer()
-        self.last_sample = None
-        self.sync = None
         self.prev_img_t = None
+        self._last_raw = None      # (acc, gyr) of the newest pushed sample
         if getattr(self, "use_native", False):
             from cerberus_tpu.native import SensorSync
             self.sync = SensorSync()
+        else:
+            self.sync = PySensorSync()
         self.fm = FeatureManager(self.F, self.cfg.min_parallax)
 
         # IMU-rate fast prediction state (reference: fastPredictIMU)
         self.latest = None
         self._last_pose = None
-        self.keyframe_callback = None  # fn(t, p(3,), q(4,), feature_ids)
+        self.keyframe_callback = None  # fn(t, p, q, ids, {id: (uv, world)})
+        self.metrics = getattr(self, "metrics", None)  # MetricsLogger | None
+        self.predict_callback = None   # fn({feature_id: pts_cam(3,)})
+        self.predicted_pts: dict[int, np.ndarray] = {}
         # reboots survives clear_state so replays can report recovery events
         # (reference: failureDetection -> clearState, estimator.cpp:823-831)
         reboots = getattr(self, "stats", {}).get("reboots", 0)
@@ -164,10 +264,8 @@ class Estimator:
     def input_imu_leg(self, t, acc, gyr, phi, dphi, contact):
         """500 Hz proprioceptive tick (reference: inputIMU + inputLeg,
         estimator.cpp:255-300)."""
-        if self.sync is not None:
-            self.sync.push(t, acc, gyr, phi, dphi, contact)
-        else:
-            self.pending.append(t, acc, gyr, phi, dphi, contact)
+        self.sync.push(t, acc, gyr, phi, dphi, contact)
+        self._last_raw = (np.asarray(acc, float), np.asarray(gyr, float))
         if self.latest is not None:
             self._fast_predict(t, np.asarray(acc), np.asarray(gyr))
 
@@ -193,24 +291,54 @@ class Estimator:
     def input_image(self, t, feats: dict):
         """15 Hz camera tick. feats: {id: (pt0(3,), vel0(2,), pt1|None, vel1)}."""
         fc = self.frame_count
+        if not self.cfg.stereo:
+            # mono mode: drop right-cam observations (changeSensorType)
+            feats = {fid: (o0, v0, None, v1)
+                     for fid, (o0, v0, o1, v1) in feats.items()}
         # 1. interval measurements + preintegration + state propagation
         if fc > 0:
             k = fc - 1 if self.solver_flag == self.INITIAL else 9
             self._close_interval(k, t)
-            self._propagate_frame(k)
-        else:
+            if self.cfg.use_imu:
+                self._propagate_frame(k)
+            else:
+                # no dead-reckoning available: seed with previous pose,
+                # PnP below refines (reference vision-only path,
+                # estimator.cpp:806-808)
+                j = (fc if self.solver_flag == self.INITIAL
+                     else C.WINDOW_SIZE)
+                for arr in (self.p, self.q, self.v):
+                    arr[j] = arr[j - 1]
+        elif self.cfg.use_imu:
             # consume the pending buffer up to t for gravity alignment
             self._init_first_pose(t)
+        else:
+            self.prev_img_t = t
         self.headers[min(fc, NF - 1)] = t
 
-        # 2. feature bookkeeping + keyframe decision
-        is_kf = self.fm.add_frame(min(fc, NF - 1), feats, 0.0)
+        # 2. feature bookkeeping + keyframe decision. Each observation
+        # records cur_td = the running td estimate at registration time, so
+        # the projection factor's (td - cur_td) velocity compensation uses
+        # the CHANGE in td since the observation was made (reference:
+        # FeaturePerFrame stores cur_td, feature_manager.h:33-46; factor
+        # uses td - td_i, projectionTwoFrameOneCamFactor.cpp:59-74).
+        is_kf = self.fm.add_frame(min(fc, NF - 1), feats, self.td)
         margin_flag = MARGIN_OLD if is_kf else MARGIN_SECOND_NEW
         if is_kf:
             self.stats["keyframes"] += 1
 
         ric, tic_, p_w, R_w = self._poses_np()
         if self.solver_flag == self.INITIAL:
+            # per-frame PnP pose seeding during init — dead-reckoning with
+            # uncalibrated biases is weak there (reference: estimator.cpp:736
+            # calls initFramePoseByPnP each INITIAL frame before triangulate)
+            fi = min(fc, NF - 1)
+            if fi > 0:
+                res = self.fm.init_frame_pose_by_pnp(fi, p_w, R_w, tic_, ric)
+                if res is not None:
+                    self.p[fi], R_w[fi] = res[0], res[1]
+                    self.q[fi] = _rot_to_quat_np(res[1])
+                    p_w[fi] = res[0]
             self.fm.triangulate(p_w, R_w, tic_, ric)
             if fc == C.WINDOW_SIZE:
                 self._initialize()
@@ -222,6 +350,22 @@ class Estimator:
                 for arr in (self.p, self.q, self.v, self.ba, self.bg, self.rho):
                     arr[self.frame_count] = arr[self.frame_count - 1]
         else:
+            # vision-side pose init of the incoming frame. With IMU the
+            # reference relies on dead-reckoning alone (PnP only when
+            # !USE_IMU, estimator.cpp:806-808); here PnP additionally acts
+            # as a RECOVERY path: adopt its pose when it disagrees strongly
+            # with dead-reckoning (corrupted preintegration, IMU dropout).
+            if not self.cfg.use_imu or self.cfg.pnp_fallback:
+                res = self.fm.init_frame_pose_by_pnp(C.WINDOW_SIZE, p_w, R_w,
+                                                     tic_, ric)
+                if res is not None:
+                    dp = np.linalg.norm(res[0] - self.p[C.WINDOW_SIZE])
+                    dang = _rot_angle_np(
+                        R_w[C.WINDOW_SIZE].T @ res[1])
+                    if not self.cfg.use_imu or dp > 0.3 or dang > 0.26:
+                        self.p[C.WINDOW_SIZE], R_w[C.WINDOW_SIZE] = res
+                        self.q[C.WINDOW_SIZE] = _rot_to_quat_np(res[1])
+                        p_w[C.WINDOW_SIZE] = res[0]
             self.fm.triangulate(p_w, R_w, tic_, ric)
             t0 = time.time()
             # pack ONCE per frame; solve / outlier scoring / marginalization
@@ -248,11 +392,21 @@ class Estimator:
             self.last_info = info
             self.stats["solve_time"] += time.time() - t0
             self.stats["solves"] += 1
+            if self.metrics is not None:
+                self.metrics.log(
+                    "solve", t=float(t), cost0=float(info.cost0),
+                    cost=float(info.cost), accepted=int(info.accepted),
+                    solve_ms=round(1000 * (time.time() - t0), 2),
+                    features=int(np.sum(feats_d["valid"])),
+                    keyframe=bool(is_kf), td=float(self.td))
 
             # outlier rejection on the post-solve state (scored in-solve)
             if getattr(self, "debug", False):
                 st_dev = self._window_state(self.fm.depth_vector(slots))
                 self.last_debug["exit"] = _cost_breakdown(st_dev, data, self.F)
+            # per-feature AVERAGE reprojection error vs a 3 px gate — the
+            # reference's own rule (ave_err * FOCAL_LENGTH > 3,
+            # estimator.cpp:1794-1796), not a per-observation check
             errs = errs[: len(slots)]
             bad_local = [n for n in range(len(slots))
                          if feats_d["valid"][n]
@@ -263,9 +417,13 @@ class Estimator:
                 newmask[bad_local] = False
                 data = data._replace(f_valid=jnp.asarray(newmask))
 
+            self._predict_next_frame()
             if self.failure_detection():
                 # system reboot (reference: estimator.cpp:823-831)
                 self.stats["reboots"] += 1
+                if self.metrics is not None:
+                    self.metrics.log("reboot", t=float(t),
+                                     count=self.stats["reboots"])
                 self.clear_state()
                 return
             self._post_solve(margin_flag, data=data, slots=slots)
@@ -276,50 +434,28 @@ class Estimator:
     def _init_first_pose(self, t):
         """Gravity-align the first frame (reference: initFirstIMUPose,
         estimator.cpp:524-544)."""
-        if self.sync is not None:
-            rows = self.sync.extract(-1e18, t)
-            self.prev_img_t = t
-            if rows is None or len(rows) == 0:
-                return
-            acc_mean = rows[:, 1:4].mean(axis=0)
-            R0 = np.asarray(lie.g_to_rot(jnp.asarray(acc_mean)))
-            self.q[0] = _rot_to_quat_np(R0)
+        t_ext = min(t, self.sync.latest_time())
+        rows = self.sync.extract(-1e18, t_ext) if t_ext > -1e17 else None
+        self.prev_img_t = t
+        if rows is None or len(rows) == 0:
             return
-        if len(self.pending) == 0:
-            return
-        acc_mean = np.mean(np.stack(self.pending.acc), axis=0)
+        acc_mean = rows[:, 1:4].mean(axis=0)
         # g2R(acc): body->world rotation putting measured gravity on +z with
         # zero yaw (reference: initFirstIMUPose, estimator.cpp:524-544)
         R0 = np.asarray(lie.g_to_rot(jnp.asarray(acc_mean)))
         self.q[0] = _rot_to_quat_np(R0)
-        # keep the boundary sample for interval 0
-        self.last_sample = self.pending
-        self.buffers[0] = None
-        keep = self.pending
-        self.pending = IntervalBuffer()
-        if len(keep):
-            self.pending.append(keep.t[-1], keep.acc[-1], keep.gyr[-1],
-                                keep.phi[-1], keep.dphi[-1], keep.c[-1])
 
     def _close_interval(self, k: int, t_img):
         """Move the samples spanning (prev image, this image] into interval
         k's buffer and preintegrate (reference: getIMUAndLegInterval,
         estimator.cpp:303-397)."""
-        if self.sync is not None:
-            rows = self.sync.extract(self.prev_img_t, t_img)
-            self.prev_img_t = t_img
-            buf = IntervalBuffer()
-            if rows is not None:
-                for r in rows:
-                    buf.append(r[0], r[1:4], r[4:7], r[7:19], r[19:31],
-                               r[31:35])
-        else:
-            buf = self.pending
-            self.pending = IntervalBuffer()
-            if len(buf):
-                # boundary sample for the next interval
-                self.pending.append(buf.t[-1], buf.acc[-1], buf.gyr[-1],
-                                    buf.phi[-1], buf.dphi[-1], buf.c[-1])
+        rows = self.sync.extract(self.prev_img_t, t_img)
+        self.prev_img_t = t_img
+        buf = IntervalBuffer()
+        if rows is not None:
+            for r in rows:
+                buf.append(r[0], r[1:4], r[4:7], r[7:19], r[19:31],
+                           r[31:35])
         self.buffers[k] = buf
         self.preints[k] = self._run_preint(buf, self.ba[k], self.bg[k],
                                            self.rho[k])
@@ -398,7 +534,8 @@ class Estimator:
             # first marginalization prior.
             return default_free_mask(optimize_leg_bias=False,
                                      optimize_extrinsic=False,
-                                     optimize_td=False)
+                                     optimize_td=False,
+                                     use_imu=self.cfg.use_imu)
         opt_ex = bool(self.cfg.estimate_extrinsic
                       and (np.linalg.norm(self.v[0]) > 0.2
                            or self.open_ex_estimation))
@@ -408,7 +545,8 @@ class Estimator:
             optimize_leg_bias=self.cfg.optimize_leg_bias and self.cfg.use_leg_odom,
             optimize_extrinsic=opt_ex,
             optimize_td=bool(self.cfg.estimate_td
-                             and np.linalg.norm(self.v[0]) > 0.2))
+                             and np.linalg.norm(self.v[0]) > 0.2),
+            use_imu=self.cfg.use_imu)
 
     def _pack(self, init=False):
         feats, slots = self.fm.export()
@@ -421,8 +559,9 @@ class Estimator:
             cw[12] = 1.0 / self.cfg.td_prior_sigma
         ric_ref, tic_ref = self.cfg.ric_tic()
         qic_ref = np.stack([_rot_to_quat_np(ric_ref[i]) for i in range(2)])
+        preints = self.preints if self.cfg.use_imu else [None] * 10
         data = pack_window_data(
-            self.preints, feats, prior=self.prior,
+            preints, feats, prior=self.prior,
             free_mask=self._free_mask(init),
             gravity=(0, 0, self.cfg.g_norm), F=self.F, dtype=self.dtype,
             calib_prior=(tic_ref, qic_ref, self.cfg.td, cw),
@@ -468,6 +607,59 @@ class Estimator:
                     self.buffers[k], self.ba[k], self.bg[k], self.rho[k])
         self._optimize(init=True)
 
+    def _predict_next_frame(self):
+        """Constant-velocity prediction of tracked features in the next
+        image (reference: predictPtsInNextFrame, estimator.cpp:1694-1727):
+        nextT = curT * (prevT^-1 * curT); features with depth observed in the
+        newest frame are projected into the predicted left camera. Result
+        {feature_id: pts_cam (3,)} is stored on self.predicted_pts and passed
+        to self.predict_callback (the replay loop forwards it to
+        tracker.set_prediction, reference feature_tracker.cpp:501-518)."""
+        self.predicted_pts = {}
+        i, j = C.WINDOW_SIZE - 1, C.WINDOW_SIZE
+        R_prev, R_cur = _quat_to_rot_np(self.q[i]), _quat_to_rot_np(self.q[j])
+        p_prev, p_cur = self.p[i], self.p[j]
+        R_next = R_cur @ (R_prev.T @ R_cur)
+        p_next = p_cur + R_cur @ (R_prev.T @ (p_cur - p_prev))
+        ric = _quat_to_rot_np(self.qic[0])
+        fm = self.fm
+        for s in np.nonzero(fm.active & (fm.depth > 0) & fm.obs[:, j])[0]:
+            sf = int(fm.start[s])
+            pc = fm.pts[s, sf] / fm.depth[s]
+            pw = _quat_to_rot_np(self.q[sf]) @ (ric @ pc + self.tic[0]) \
+                + self.p[sf]
+            pl = R_next.T @ (pw - p_next)
+            pcam = ric.T @ (pl - self.tic[0])
+            if pcam[2] > 0.1:
+                self.predicted_pts[int(fm.ids[s])] = pcam
+        if self.predict_callback is not None and self.predicted_pts:
+            self.predict_callback(self.predicted_pts)
+
+    def change_sensor_type(self, use_imu: bool, use_stereo: bool):
+        """Runtime sensor hot-swap (reference: changeSensorType,
+        estimator.cpp:175-212): re-enabling the IMU restarts the system
+        (preintegration history is unusable), disabling it drops the
+        marginalization prior (its IMU rows linearize a state that no longer
+        evolves by dead-reckoning); stereo toggles take effect immediately.
+
+        At least one of (imu, stereo) must stay on — with neither there is
+        no scale information (reference prints the same complaint)."""
+        if not use_imu and not use_stereo:
+            raise ValueError("at least two sensors required: imu or stereo")
+        restart = False
+        if use_imu != self.cfg.use_imu:
+            self.cfg = self.cfg.replace(use_imu=use_imu)
+            if use_imu:
+                restart = True
+            else:
+                self.prior = None
+        if use_stereo != self.cfg.stereo:
+            self.cfg = self.cfg.replace(
+                stereo=use_stereo, num_of_cam=2 if use_stereo else 1)
+        if restart:
+            self.stats["reboots"] += 1
+            self.clear_state()
+
     def failure_detection(self) -> bool:
         """Divergence checks. The reference defines these thresholds but
         disables them with an early return (estimator.cpp:1005-1050); here
@@ -479,9 +671,9 @@ class Estimator:
                 print(f"[failure_detection] {reason}")
             return True
 
-        if np.linalg.norm(self.ba[i]) > 2.5:
+        if self.cfg.use_imu and np.linalg.norm(self.ba[i]) > 2.5:
             return fail(f"big acc bias {self.ba[i]}")
-        if np.linalg.norm(self.bg[i]) > 1.0:
+        if self.cfg.use_imu and np.linalg.norm(self.bg[i]) > 1.0:
             return fail(f"big gyr bias {self.bg[i]}")
         if self._last_pose is not None:
             last_p, last_q = self._last_pose
@@ -526,13 +718,25 @@ class Estimator:
             if bool(valid):
                 self.prior = (pj, pr, lin)  # device-resident
             if self.keyframe_callback is not None:
-                # emit the frame leaving the window: final refined pose +
-                # its observed feature ids (reference: pubKeyframe feeds the
-                # external loop_fusion, visualization.cpp:345-398)
-                ids = [int(self.fm.ids[s]) for s in np.nonzero(
-                    self.fm.active & self.fm.obs[:, 0])[0]]
+                # emit the frame leaving the window: final refined pose, its
+                # observed feature ids, and per-feature (normalized obs,
+                # world point) for the loop-closure back-end (reference:
+                # pubKeyframe publishes exactly pose + 2D obs + 3D points to
+                # the external loop_fusion, visualization.cpp:345-398)
+                fm = self.fm
+                R0 = _quat_to_rot_np(self.q[0])
+                ric0 = _quat_to_rot_np(self.qic[0])
+                ids, obs = [], {}
+                for s in np.nonzero(fm.active & fm.obs[:, 0])[0]:
+                    fid = int(fm.ids[s])
+                    ids.append(fid)
+                    world = None
+                    if fm.depth[s] > 0 and fm.start[s] == 0:
+                        pc = fm.pts[s, 0] / fm.depth[s]
+                        world = R0 @ (ric0 @ pc + self.tic[0]) + self.p[0]
+                    obs[fid] = (fm.pts[s, 0, :2].copy(), world)
                 self.keyframe_callback(self.headers[0], self.p[0].copy(),
-                                       self.q[0].copy(), ids)
+                                       self.q[0].copy(), ids, obs)
             self._slide_old()
         else:
             if self.prior is not None:
@@ -587,8 +791,8 @@ class Estimator:
 
     def _update_latest(self, t):
         i = min(self.frame_count, NF - 1)
-        if len(self.pending):
-            acc, gyr = self.pending.acc[-1], self.pending.gyr[-1]
+        if self._last_raw is not None:
+            acc, gyr = self._last_raw
         elif self.buffers[9] is not None and len(self.buffers[9]):
             acc, gyr = self.buffers[9].acc[-1], self.buffers[9].gyr[-1]
         else:
@@ -658,6 +862,11 @@ def _quat_to_rot_np(q):
 
 def _rot_np(q, v):
     return _quat_to_rot_np(q) @ v
+
+
+def _rot_angle_np(R):
+    """Rotation angle (rad) of a rotation matrix."""
+    return float(np.arccos(np.clip((np.trace(R) - 1) / 2, -1.0, 1.0)))
 
 
 def _rot_to_quat_np(R):

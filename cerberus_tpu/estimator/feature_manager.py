@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 
 from cerberus_tpu import config as C
+from cerberus_tpu.estimator import pnp
 
 NF = C.NUM_FRAMES
 MIN_PARALLAX_DEFAULT = 10.0 / C.FOCAL_LENGTH
@@ -115,10 +116,63 @@ class FeatureManager:
         return float(parallax.mean()) >= self.min_parallax
 
     # ------------------------------------------------------------------
+    def init_frame_pose_by_pnp(self, frame: int, p_w, R_w, tic, ric,
+                               min_pts: int = 6, max_jump: float = 1.0):
+        """Vision-only pose initialization of `frame` from features with
+        solved depth (reference: initFramePoseByPnP,
+        feature_manager.cpp:259-300 — seeded at the previous frame's pose;
+        plus a RANSAC recovery pass the reference lacks).
+
+        Returns (p_new (3,), R_new (3,3)) for the BODY frame, or None.
+        Does not mutate window state — the estimator decides adoption.
+        """
+        m = (self.active & (self.depth > 0) & self.obs[:, frame])
+        slots = np.nonzero(m)[0]
+        if len(slots) < min_pts:
+            return None
+        pts3d = np.empty((len(slots), 3))
+        pts2d = np.empty((len(slots), 2))
+        for n, s in enumerate(slots):
+            sf = int(self.start[s])
+            pc = self.pts[s, sf] / self.depth[s]          # anchor cam frame
+            pb = ric[0] @ pc + tic[0]                     # anchor body frame
+            pts3d[n] = R_w[sf] @ pb + p_w[sf]             # world
+            pts2d[n] = self.pts[s, frame, :2]
+        # seed: previous frame's camera pose (reference seeds RCam/PCam from
+        # frame-1, feature_manager.cpp:283-285)
+        prev = max(frame - 1, 0)
+        R_seed = R_w[prev] @ ric[0]
+        t_seed = R_w[prev] @ tic[0] + p_w[prev]
+        R_cam, t_cam, ok, rms = pnp.solve_pnp_gn(pts3d, pts2d, R_seed, t_seed)
+        if ok:
+            uv, z = pnp.project(R_cam, t_cam, pts3d)
+            err = np.linalg.norm(uv - pts2d, axis=1)
+            inliers = (err < 5.0 / C.FOCAL_LENGTH) & (z > 0.05)
+            ok = inliers.sum() >= max(min_pts, 0.4 * len(slots))
+        if not ok:
+            # seed-free recovery (no reference equivalent: cv::solvePnP just
+            # fails there and the frame keeps its dead-reckoned pose)
+            res = pnp.ransac_pnp(pts3d, pts2d)
+            if res is None:
+                return None
+            R_cam, t_cam, _ = res
+        # w_T_cam -> w_T_body (reference: feature_manager.cpp:290-292)
+        R_new = R_cam @ ric[0].T
+        p_new = t_cam - R_new @ tic[0]
+        return p_new, R_new
+
+    # ------------------------------------------------------------------
     def triangulate(self, p_w, R_w, tic, ric):
         """Initialize depths of active features lacking one
         (reference: feature_manager.cpp:302-431). p_w/R_w: (11,3)/(11,3,3)
-        body poses; tic/ric: (2,3)/(2,3,3)."""
+        body poses; tic/ric: (2,3)/(2,3,3).
+
+        Order follows the reference: stereo pair at the anchor frame first
+        (feature_manager.cpp:309-345); otherwise multi-view SVD over ALL
+        left-cam observations (feature_manager.cpp:379-431 — the reference
+        codes this but its branch order only ever reaches a two-view DLT of
+        frames i,i+1 (:348-377); here the multi-view form is the live path,
+        degrading to two-view DLT when only 2 observations exist)."""
         for s in np.nonzero(self.active)[0]:
             if self.depth[s] > 0:
                 continue
@@ -127,21 +181,23 @@ class FeatureManager:
                 continue
             P0 = R_w[sf] @ tic[0] + p_w[sf]
             R0 = R_w[sf] @ ric[0]
+            frames = np.nonzero(self.obs[s])[0]
             if self.stereo[s, sf]:
                 P1 = R_w[sf] @ tic[1] + p_w[sf]
                 R1 = R_w[sf] @ ric[1]
                 pt = _dlt(P0, R0, self.pts[s, sf], P1, R1, self.pts_r[s, sf])
-            else:
-                frames = np.nonzero(self.obs[s])[0]
-                if len(frames) < 2:
-                    continue
+                z = (R0.T @ (pt - P0))[2]
+            elif len(frames) >= 3:
+                z = _multiview_depth(self.pts[s], frames, sf, p_w, R_w,
+                                     tic[0], ric[0])
+            elif len(frames) == 2 and int(frames[-1]) != sf:
                 lf = int(frames[-1])
-                if lf == sf:
-                    continue
                 P1 = R_w[lf] @ tic[0] + p_w[lf]
                 R1 = R_w[lf] @ ric[0]
                 pt = _dlt(P0, R0, self.pts[s, sf], P1, R1, self.pts[s, lf])
-            z = (R0.T @ (pt - P0))[2]
+                z = (R0.T @ (pt - P0))[2]
+            else:
+                continue
             if z < 0.1:
                 z = 5.0  # INIT_DEPTH fallback (feature_manager.cpp:425)
             self.depth[s] = 1.0 / z
@@ -244,6 +300,30 @@ class FeatureManager:
     def set_depths(self, slots, inv_depths):
         for s, d in zip(slots, inv_depths):
             self.depth[s] = float(d)
+
+
+def _multiview_depth(pts, frames, sf, p_w, R_w, tic0, ric0):
+    """Multi-view SVD triangulation: anchor-frame depth from ALL left-cam
+    observations (reference: feature_manager.cpp:379-431 — A rows
+    f_x * P.row(2) - f_z * P.row(0) per observation, relative to the anchor
+    camera; depth = V[2]/V[3])."""
+    t0 = R_w[sf] @ tic0 + p_w[sf]
+    R0 = R_w[sf] @ ric0
+    A = np.zeros((2 * len(frames), 4))
+    for n, j in enumerate(frames):
+        t1 = R_w[j] @ tic0 + p_w[j]
+        R1 = R_w[j] @ ric0
+        Rrel = R0.T @ R1                 # anchor-cam <- cam j
+        trel = R0.T @ (t1 - t0)
+        P = np.zeros((3, 4))
+        P[:, :3] = Rrel.T
+        P[:, 3] = -Rrel.T @ trel
+        f = pts[j] / np.linalg.norm(pts[j])
+        A[2 * n] = f[0] * P[2] - f[2] * P[0]
+        A[2 * n + 1] = f[1] * P[2] - f[2] * P[1]
+    _, _, Vt = np.linalg.svd(A, full_matrices=False)
+    v = Vt[-1]
+    return v[2] / v[3] if abs(v[3]) > 1e-12 else -1.0
 
 
 def _dlt(P0, R0, uv0, P1, R1, uv1):

@@ -25,12 +25,14 @@ def whiten_chol(P: jax.Array, jitter: float = 0.0) -> jax.Array:
 
 
 def default_free_mask(optimize_leg_bias=True, optimize_extrinsic=False,
-                      optimize_td=False) -> np.ndarray:
+                      optimize_td=False, use_imu=True) -> np.ndarray:
     """(222,) bool free mask (reference: estimator.cpp:1065-1105
-    SetParameterBlockConstant logic)."""
+    SetParameterBlockConstant logic). Without IMU, speed/bias states have no
+    constraining factor and stay frozen (reference only adds speedbias
+    blocks when USE_IMU, estimator.cpp:1071-1076)."""
     m = np.zeros((fac.D_DENSE,), bool)
     m[fac.POSE_OFF: fac.POSE_OFF + 6 * C.NUM_FRAMES] = True
-    m[fac.SB_OFF: fac.SB_OFF + 9 * C.NUM_FRAMES] = True
+    m[fac.SB_OFF: fac.SB_OFF + 9 * C.NUM_FRAMES] = use_imu
     m[fac.RHO_OFF: fac.RHO_OFF + 4 * C.NUM_FRAMES] = optimize_leg_bias
     m[fac.EX0_OFF: fac.EX0_OFF + 12] = optimize_extrinsic
     m[fac.TD_OFF] = optimize_td

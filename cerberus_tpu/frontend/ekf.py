@@ -61,14 +61,17 @@ class EKFParams(NamedTuple):
     @staticmethod
     def from_config(cfg: EstimatorConfig, dtype=jnp.float64) -> "EKFParams":
         f = lambda x: jnp.asarray(x, dtype)
+        nz = cfg.noise
         return EKFParams(
             rho_fix=f(cfg.robot.rho_fix()), rho=f(cfg.robot.rho_init()),
             p_br=f(cfg.robot.p_br), R_br=f(cfg.robot.R_br),
             gravity=f([0.0, 0.0, cfg.g_norm]),
-            acc_n=f(0.05), gyr_n=f(0.005),
-            foot_walk_contact=f(1e-4), foot_walk_swing=f(10.0),
-            meas_fk_n=f(1e-3), meas_vel_n=f(5e-2), meas_height_n=f(1e-2),
-            contact_force_thresh=f(30.0),
+            acc_n=f(nz.ekf_acc_n), gyr_n=f(nz.ekf_gyr_n),
+            foot_walk_contact=f(nz.ekf_foot_walk_contact),
+            foot_walk_swing=f(nz.ekf_foot_walk_swing),
+            meas_fk_n=f(nz.ekf_meas_fk_n), meas_vel_n=f(nz.ekf_meas_vel_n),
+            meas_height_n=f(nz.ekf_meas_height_n),
+            contact_force_thresh=f(nz.ekf_contact_force_thresh),
         )
 
 

@@ -2,12 +2,20 @@
 """Long-horizon drift evaluation — the reference's headline claim is < 1 %
 position drift over multi-hundred-meter rosbag trajectories (README.md:4,
 street/campus/track tables README.md:53-74). This replays a long simulated
-walk (default 120 s figure-8) through the full streaming VILO pipeline and
-reports drift % of distance traveled, matching the reference's evaluation
-protocol (final-error / path-length after first-pose alignment).
+walk through the full streaming VILO pipeline and reports drift % of distance
+traveled, matching the reference's evaluation protocol (final-error /
+path-length after gravity-yaw alignment).
+
+Modes:
+  default            ideal simulated features -> estimator
+  --images           rendered stereo images -> KLT front-end -> estimator
+                     (the reference's actual hot path, main.cpp:95-202)
+  --tracker device   on-device (XLA) KLT instead of the OpenCV front-end
+  --loop             run the loop-closure back-end off keyframes and report
+                     loop-corrected drift alongside odometric drift
 
 Usage: python evals/long_run.py [--duration 120] [--path figure8]
-       [--platform cpu|tpu|auto] [--csv out.csv]
+       [--platform cpu|tpu|auto] [--csv out.csv] [--images] [--loop]
 """
 
 import argparse
@@ -32,6 +40,16 @@ def main():
                     help="disable leg-odometry factors (vision+IMU only)")
     ap.add_argument("--no-vision", action="store_true",
                     help="disable vision (IMU+leg only)")
+    ap.add_argument("--images", action="store_true",
+                    help="render images and run the real KLT front-end")
+    ap.add_argument("--tracker", default="cv", choices=["cv", "device"],
+                    help="front-end for --images: OpenCV or on-device KLT")
+    ap.add_argument("--no-predict", action="store_true",
+                    help="disable feature prediction seeding")
+    ap.add_argument("--loop", action="store_true",
+                    help="run loop closure and report corrected drift")
+    ap.add_argument("--out", default=None, help="append result to JSON file")
+    ap.add_argument("--tag", default=None)
     args = ap.parse_args()
 
     import jax
@@ -41,16 +59,19 @@ def main():
     import jax.numpy as jnp
 
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    assert args.platform == "auto" or (args.platform == "tpu") == on_tpu, \
+        f"requested {args.platform}, got {jax.devices()[0].platform}"
     dtype = jnp.float32 if on_tpu else jnp.float64
     if not on_tpu:
         jax.config.update("jax_enable_x64", True)
 
     from cerberus_tpu.config import EstimatorConfig
     from cerberus_tpu.data import SimConfig, simulate
-    from cerberus_tpu.data.replay import replay
+    from cerberus_tpu.data.replay import replay, replay_images, score
     from cerberus_tpu.estimator.estimator import Estimator
 
     import dataclasses
+    import numpy as np
 
     sim = simulate(SimConfig(duration=args.duration, speed=args.speed,
                              path=args.path, seed=args.seed))
@@ -62,13 +83,62 @@ def main():
         sim = dict(sim)
         sim["features"] = [{} for _ in sim["features"]]
     est = Estimator(cfg, dtype=dtype)
+
+    closer = None
+    images_for_loop = {}
+    if args.loop:
+        from cerberus_tpu.loop.closer import LoopCloser
+        closer = LoopCloser(cfg)
+
+        def on_keyframe(t, p, q, ids, obs):
+            img = images_for_loop.pop(round(float(t), 6), None)
+            closer.add_keyframe(t, p, q, ids, obs, img)
+
+        est.keyframe_callback = on_keyframe
+
     t0 = time.time()
-    out = replay(sim, est=est, csv_path=args.csv)
+    if args.images:
+        from cerberus_tpu.data.simulator import ImageRenderer
+        renderer = ImageRenderer(sim, cfg)
+        tracker = None
+        if args.tracker == "device":
+            from cerberus_tpu.frontend.device_tracker import DeviceTracker
+            from cerberus_tpu.frontend.tracker import PinholeCamera
+            f = renderer.f
+            cams = [PinholeCamera(f, f, renderer.cx, renderer.cy,
+                                  size=(renderer.W, renderer.H))
+                    for _ in range(2)]
+            tracker = DeviceTracker(cams[0], cams[1], max_cnt=cfg.max_cnt,
+                                    min_dist=cfg.min_dist,
+                                    flow_back=cfg.flow_back)
+        if args.loop:
+            # retain rendered keyframe images for the loop front-end
+            class _LoopRenderer:
+                def __init__(self, inner, sim):
+                    self._r = inner
+                    self._t = sim["t"]
+                    for a in ("f", "cx", "cy", "W", "H"):
+                        setattr(self, a, getattr(inner, a))
+
+                def render_stereo(self, k):
+                    im0, im1 = self._r.render_stereo(k)
+                    images_for_loop[round(float(self._t[k]), 6)] = im0
+                    while len(images_for_loop) > 32:  # window depth is 11
+                        images_for_loop.pop(next(iter(images_for_loop)))
+                    return im0, im1
+            renderer = _LoopRenderer(renderer, sim)
+        out = replay_images(sim, est=est, tracker=tracker, renderer=renderer,
+                            csv_path=args.csv,
+                            use_prediction=not args.no_predict)
+    else:
+        out = replay(sim, est=est, csv_path=args.csv)
     wall = time.time() - t0
     realtime = args.duration / wall
-    print(json.dumps(dict(
+
+    result = dict(
         platform=jax.devices()[0].platform, dtype=str(dtype.__name__),
-        duration_s=args.duration, path=args.path,
+        duration_s=args.duration, path=args.path, speed=args.speed,
+        images=bool(args.images), tracker=args.tracker if args.images else None,
         distance_m=round(out["distance"], 2),
         drift_pct=round(out["drift_pct"], 4),
         final_err_m=round(out.get("final_err", float("nan")), 4),
@@ -82,7 +152,39 @@ def main():
         mean_solve_only_ms=round(1000 * est.stats.get("solve_only_time", 0.0)
                                  / max(est.stats["solves"], 1), 1),
         wall_s=round(wall, 1), realtime_factor=round(realtime, 2),
-    )))
+    )
+    if args.images:
+        result["render_ms_per_frame"] = round(out["render_ms_per_frame"], 1)
+        result["track_ms_per_frame"] = round(out["track_ms_per_frame"], 1)
+    if closer is not None:
+        closer.finish()
+        kf_t = closer.times()
+        kf_p = closer.corrected()
+        # ground truth at keyframe times
+        gt = np.column_stack([np.interp(kf_t, sim["t"], sim["p"][:, i])
+                              for i in range(3)])
+        odo = np.array([r for r in closer.pg.p[:closer.pg.n]])
+        m_loop = score(kf_p, gt)
+        result["loop"] = dict(
+            loops_found=closer.loops_found,
+            loops_rejected=closer.loops_rejected,
+            keyframes=closer.pg.n,
+            corrected_drift_pct=round(m_loop["drift_pct"], 4),
+            corrected_ate_m=round(m_loop["ate_rmse"], 4),
+        )
+    print(json.dumps(result))
+    if args.out:
+        existing = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                existing = json.load(f)
+        tag = args.tag or f"{args.path}_{int(args.duration)}s" + \
+            ("_img" if args.images else "") + \
+            (f"_{args.tracker}" if args.images else "") + \
+            ("_loop" if args.loop else "")
+        existing[tag] = result
+        with open(args.out, "w") as f:
+            json.dump(existing, f, indent=1)
 
 
 if __name__ == "__main__":

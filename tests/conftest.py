@@ -8,6 +8,10 @@ xla_force_host_platform_device_count fakes).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may point at the TPU
+# persistent compilation cache: the suite's wall time is dominated by
+# recompiling the same window-solver programs in every test process
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -88,7 +88,7 @@ def test_estimator_feeds_posegraph():
     pg = PoseGraph(min_overlap=5, min_gap=8)
     est = Estimator(EstimatorConfig())
 
-    def on_keyframe(t, p, q, ids):
+    def on_keyframe(t, p, q, ids, obs):
         yaw = float(np.deg2rad(
             np.asarray(lie.rot_to_ypr(lie.quat_to_rot(jnp.asarray(q))))[0]))
         pg.add_keyframe(p, yaw, ids)
