@@ -19,4 +19,29 @@ axis of independent estimation windows.
 
 __version__ = "0.1.0"
 
+
+def _enable_compile_cache():
+    """Activate JAX's persistent compilation cache.
+
+    The estimator uses ~6 large programs that are identical across runs;
+    remote-TPU compiles take minutes each. Done here via jax.config (not the
+    env var) because environments that pre-import jax in sitecustomize have
+    already consumed JAX_COMPILATION_CACHE_DIR by the time user code runs.
+    Opt out with CERBERUS_NO_COMPILE_CACHE=1."""
+    import os
+    if os.environ.get("CERBERUS_NO_COMPILE_CACHE") == "1":
+        return
+    try:
+        import jax
+        d = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.cache/cerberus_tpu/jax"))
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compile_cache()
+
 from cerberus_tpu.config import EstimatorConfig, NoiseConfig, RobotModel  # noqa: F401

@@ -31,7 +31,10 @@ class SimConfig:
     imu_rate: float = 500.0
     cam_rate: float = 15.0
     speed: float = 0.5              # m/s nominal forward speed
-    path: str = "arc"               # arc | line | figure8
+    path: str = "arc"               # arc | line | figure8 | street
+    street_w: float = 40.0          # street circuit bounding box (m)
+    street_h: float = 20.0
+    street_corner_r: float = 6.0
     gait_freq: float = 2.0          # trot cycles per second
     step_height: float = 0.06
     body_height: float = 0.30
@@ -69,9 +72,69 @@ class SimConfig:
     seed: int = 0
 
 
+def _path_street(t, cfg: SimConfig):
+    """Rounded-rectangle street circuit (constant speed): straights + 90-deg
+    corner arcs, repeating laps — the shape of the reference's street/track
+    datasets (README.md:53-68: suburban block, stadium track). Revisits the
+    same places every lap, which is what loop closure exists for."""
+    v = cfg.speed
+    W, H, r = cfg.street_w, cfg.street_h, cfg.street_corner_r
+    sw, sh = W - 2 * r, H - 2 * r            # straight lengths
+    qa = 0.5 * np.pi * r                     # quarter-arc length
+    L = 2 * sw + 2 * sh + 4 * qa             # lap length
+    # segments: [straight +x] [arc] [straight +y] [arc] [-x] [arc] [-y] [arc]
+    segs = []
+    s0 = 0.0
+    # each entry: (s_start, length, kind, params)
+    defs = [
+        ("line", sw, (r, 0.0, 0.0)),          # from (r,0) heading 0
+        ("arc", qa, (W - r, r, -0.5 * np.pi)),  # center, start angle
+        ("line", sh, (W, r, 0.5 * np.pi)),
+        ("arc", qa, (W - r, H - r, 0.0)),
+        ("line", sw, (W - r, H, np.pi)),
+        ("arc", qa, (r, H - r, 0.5 * np.pi)),
+        ("line", sh, (0.0, H - r, 1.5 * np.pi)),
+        ("arc", qa, (r, r, np.pi)),
+    ]
+    for kind, ln, par in defs:
+        segs.append((s0, ln, kind, par))
+        s0 += ln
+    s_arr = np.mod(v * t, L)
+    x = np.zeros_like(t)
+    y = np.zeros_like(t)
+    yaw = np.zeros_like(t)
+    kappa = np.zeros_like(t)
+    for s_start, ln, kind, par in segs:
+        m = (s_arr >= s_start) & (s_arr < s_start + ln + 1e-12)
+        if not m.any():
+            continue
+        ds = s_arr[m] - s_start
+        if kind == "line":
+            x0, y0, psi = par
+            x[m] = x0 + ds * np.cos(psi)
+            y[m] = y0 + ds * np.sin(psi)
+            yaw[m] = psi
+            kappa[m] = 0.0
+        else:
+            cx, cy, a0 = par
+            a = a0 + ds / r
+            x[m] = cx + r * np.cos(a)
+            y[m] = cy + r * np.sin(a)
+            yaw[m] = a + 0.5 * np.pi        # CCW tangent
+            kappa[m] = 1.0 / r
+    vx = v * np.cos(yaw)
+    vy = v * np.sin(yaw)
+    ax = -v * v * kappa * np.sin(yaw)
+    ay = v * v * kappa * np.cos(yaw)
+    yaw = np.unwrap(yaw)
+    return x, y, vx, vy, ax, ay, yaw
+
+
 def _path_xy(t, cfg: SimConfig):
     """Ground-truth planar path: position, yaw, and derivatives."""
     s = cfg.speed
+    if cfg.path == "street":
+        return _path_street(t, cfg)
     if cfg.path == "line":
         x, y = s * t, np.zeros_like(t)
         vx, vy = s * np.ones_like(t), np.zeros_like(t)

@@ -20,10 +20,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-# sitecustomize pre-imports jax with JAX_PLATFORMS baked in, so the env var
-# alone is not enough — override via config too.
+# sitecustomize pre-imports jax with JAX_PLATFORMS baked in, so the env vars
+# alone are not enough — override via config too (incl. the compile cache:
+# the env var above is read at import time, which already happened).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
