@@ -42,52 +42,6 @@ def _retract_pose(p, q, d6):
     return p + d6[0:3], lie.quat_normalize(lie.quat_mul(q, lie.delta_q(d6[3:6])))
 
 
-def _proj_pair_residual(delta, st: fac.WindowState, data: fac.WindowData,
-                        f, j):
-    """(4,) [mono(2), stereo(2)] residual of one (feature, frame) pair under a
-    26-dim local perturbation. Mirrors factors._proj_residuals exactly."""
-    i = data.f_start[f]
-    p_i, q_i = _retract_pose(st.p[i], st.q[i], delta[0:6])
-    p_j, q_j = _retract_pose(st.p[j], st.q[j], delta[6:12])
-    tic0, qic0 = _retract_pose(st.tic[0], st.qic[0], delta[12:18])
-    tic1, qic1 = _retract_pose(st.tic[1], st.qic[1], delta[18:24])
-    inv_dep = st.depth[f] + delta[24]
-    td = st.td + delta[25]
-
-    pts_i = data.f_pts[f, i]
-    vel_i = data.f_vel[f, i]
-    td_i = data.f_td[f, i]
-    pts_j = data.f_pts[f, j]
-    vel_j = data.f_vel[f, j]
-    td_j = data.f_td[f, j]
-    z1 = jnp.zeros(1, pts_i.dtype)
-    pts_i_td = pts_i - (td - td_i) * jnp.concatenate([vel_i, z1])
-    pts_j_td = pts_j - (td - td_j) * jnp.concatenate([vel_j, z1])
-
-    pts_cam_i = pts_i_td / inv_dep
-    pts_imu_i = lie.quat_rotate(qic0, pts_cam_i) + tic0
-    pts_w = lie.quat_rotate(q_i, pts_imu_i) + p_i
-    pts_imu_j = lie.quat_rotate(lie.quat_conj(q_j), pts_w - p_j)
-
-    pts_cam_j = lie.quat_rotate(lie.quat_conj(qic0), pts_imu_j - tic0)
-    zj = pts_cam_j[2]
-    r_mono = fac.PROJ_SQRT_INFO * (
-        pts_cam_j[:2] / jnp.where(jnp.abs(zj) < 1e-6, 1e-6, zj) - pts_j_td[:2])
-    mono_ok = (data.f_obs[f, j] & data.f_obs[f, i] & (j != i) & data.f_valid[f])
-    r_mono = jnp.where(mono_ok, r_mono, 0.0)
-
-    pts_jr = data.f_pts_r[f, j]
-    vel_jr = data.f_vel_r[f, j]
-    pts_jr_td = pts_jr - (td - td_j) * jnp.concatenate([vel_jr, z1])
-    pts_cam_jr = lie.quat_rotate(lie.quat_conj(qic1), pts_imu_j - tic1)
-    zr = pts_cam_jr[2]
-    r_st = fac.PROJ_SQRT_INFO * (
-        pts_cam_jr[:2] / jnp.where(jnp.abs(zr) < 1e-6, 1e-6, zr) - pts_jr_td[:2])
-    st_ok = (data.f_stereo[f, j] & data.f_obs[f, i] & data.f_valid[f])
-    r_st = jnp.where(st_ok, r_st, 0.0)
-    return jnp.concatenate([r_mono, r_st])
-
-
 def _ileg_residual_k(delta, st: fac.WindowState, data: fac.WindowData, k):
     """(31,) whitened IMU+leg residual of interval k under a 38-dim local
     perturbation (segment-grouped layout). Mirrors factors._ileg_residuals."""
@@ -141,23 +95,81 @@ def _proj_rows_split(st: fac.WindowState, data: fac.WindowData):
     reshape to (F, NF*4, ...) groups each feature's rows contiguously — the
     depth block of the Gauss-Newton Hessian is therefore DIAGONAL and the
     pose-depth coupling is a batched small contraction (the same structure
-    Ceres' DENSE_SCHUR exploits, reference estimator.cpp:1223)."""
+    Ceres' DENSE_SCHUR exploits, reference estimator.cpp:1223).
+
+    Evaluation is feature-major and GATHER-FREE: the outer vmap over
+    features and inner vmap over frames turn every per-pair data access
+    into leading-axis slicing, and the only dynamic index (the anchor
+    frame) is a one-hot contraction done ONCE per feature. The previous
+    per-(f, j)-pair formulation gathered 8+ arrays per pair — ~15 ms/iter
+    at B=128 on v5e, over half the LM iteration — this form removes it."""
     F = st.depth.shape[0]
     dtype = st.p.dtype
     P = F * NF
+    zero26 = jnp.zeros((PROJ_TAN,), dtype)
+    jidx = jnp.arange(NF)
+
+    def per_feature(f_pts, f_pts_r, f_vel, f_vel_r, f_td, f_obs, f_stereo,
+                    f_valid, start, depth_f):
+        Ei = jax.nn.one_hot(start, NF, dtype=dtype)        # (11,)
+        pts_i0 = Ei @ f_pts
+        vel_i0 = Ei @ f_vel
+        td_i0 = Ei @ f_td
+        obs_i = jnp.dot(Ei, f_obs.astype(dtype)) > 0.5
+        p_i0 = Ei @ st.p
+        q_i0 = Ei @ st.q                                   # exact row select
+
+        def per_frame(j, pts_j0, vel_j0, td_j0, p_j0, q_j0, obs_j, stereo_j,
+                      pts_jr0, vel_jr0):
+            def res26(delta):
+                p_i, q_i = _retract_pose(p_i0, q_i0, delta[0:6])
+                p_j, q_j = _retract_pose(p_j0, q_j0, delta[6:12])
+                tic0, qic0 = _retract_pose(st.tic[0], st.qic[0], delta[12:18])
+                tic1, qic1 = _retract_pose(st.tic[1], st.qic[1], delta[18:24])
+                inv_dep = depth_f + delta[24]
+                td = st.td + delta[25]
+                z1 = jnp.zeros(1, dtype)
+                pts_i_td = pts_i0 - (td - td_i0) * jnp.concatenate([vel_i0, z1])
+                pts_j_td = pts_j0 - (td - td_j0) * jnp.concatenate([vel_j0, z1])
+                pts_cam_i = pts_i_td / inv_dep
+                pts_imu_i = lie.quat_rotate(qic0, pts_cam_i) + tic0
+                pts_w = lie.quat_rotate(q_i, pts_imu_i) + p_i
+                pts_imu_j = lie.quat_rotate(lie.quat_conj(q_j), pts_w - p_j)
+                pts_cam_j = lie.quat_rotate(lie.quat_conj(qic0),
+                                            pts_imu_j - tic0)
+                zj = pts_cam_j[2]
+                r_mono = fac.PROJ_SQRT_INFO * (
+                    pts_cam_j[:2] / jnp.where(jnp.abs(zj) < 1e-6, 1e-6, zj)
+                    - pts_j_td[:2])
+                mono_ok = obs_j & obs_i & (j != start) & f_valid
+                r_mono = jnp.where(mono_ok, r_mono, 0.0)
+                pts_jr_td = pts_jr0 - (td - td_j0) * jnp.concatenate(
+                    [vel_jr0, z1])
+                pts_cam_jr = lie.quat_rotate(lie.quat_conj(qic1),
+                                             pts_imu_j - tic1)
+                zr = pts_cam_jr[2]
+                r_st = fac.PROJ_SQRT_INFO * (
+                    pts_cam_jr[:2] / jnp.where(jnp.abs(zr) < 1e-6, 1e-6, zr)
+                    - pts_jr_td[:2])
+                st_ok = stereo_j & obs_i & f_valid
+                r_st = jnp.where(st_ok, r_st, 0.0)
+                return jnp.concatenate([r_mono, r_st])
+
+            # jacrev: 4 output cotangents beat 26 input tangents (measured
+            # ~25% faster on v5e; the residual evaluation dominates)
+            return res26(zero26), jax.jacrev(res26)(zero26)
+
+        return jax.vmap(per_frame)(jidx, f_pts, f_vel, f_td, st.p, st.q,
+                                   f_obs, f_stereo, f_pts_r, f_vel_r)
+
+    r_f, J_f = jax.vmap(per_feature)(
+        data.f_pts, data.f_pts_r, data.f_vel, data.f_vel_r, data.f_td,
+        data.f_obs, data.f_stereo, data.f_valid, data.f_start, st.depth)
+    r_p = r_f.reshape(P, 4)
+    J_p = J_f.reshape(P, 4, PROJ_TAN)
 
     f_idx = jnp.repeat(jnp.arange(F), NF)
     j_idx = jnp.tile(jnp.arange(NF), F)
-    zero26 = jnp.zeros((PROJ_TAN,), dtype)
-
-    def pair_rJ(f, j):
-        r = _proj_pair_residual(zero26, st, data, f, j)
-        # jacrev: 4 output cotangents beat 26 input tangents (measured ~25%
-        # faster on v5e at B=128; the residual evaluation itself dominates)
-        J = jax.jacrev(_proj_pair_residual)(zero26, st, data, f, j)
-        return r, J
-
-    r_p, J_p = jax.vmap(pair_rJ)(f_idx, j_idx)     # (P,4), (P,4,26)
 
     # Huber IRLS on each 2-dim block
     def blk_w(rb):

@@ -7,12 +7,12 @@ Two parallelism modes (SURVEY.md §2 'TPU-native equivalents'):
    communication inside the solve; linear scaling is the expectation and the
    benchmark (windows-solved/s at 1 chip -> N chips).
 
-2. `distributed_normal_equations` — MODEL-style parallel for one (or few)
-   windows: shard the RESIDUAL rows of the stacked Jacobian across devices,
-   form partial J^T J / J^T r locally, and `psum` over the mesh. This is the
-   collective replacement of the reference's 4-pthread normal-equation
-   assembly (marginalization_factor.cpp:246-275): same math, but the
-   reduction rides ICI instead of shared memory.
+2. `pooled_calibration_step` — cross-window REDUCTION: windows sharded over
+   the mesh each contribute normal equations for a SHARED calibration block
+   (per-leg calf lengths), psum-reduced over ICI and solved once. The psum
+   is the collective replacement of the reference's 4-pthread normal-
+   equation assembly (marginalization_factor.cpp:246-275), applied to the
+   fleet-calibration capability the reference solves per-window only.
 """
 
 from __future__ import annotations
@@ -43,30 +43,52 @@ def batched_solve(states, datas, mesh: Mesh | None = None,
     return jfn(states, datas)
 
 
-def distributed_normal_equations(state: fac.WindowState, data: fac.WindowData,
-                                 mesh: Mesh, axis: str = "batch"):
-    """Assemble H = J^T J and b = J^T r for ONE window with the residual rows
-    sharded across the mesh devices, reduced with psum.
+def pooled_calibration_step(states, datas, mesh: Mesh | None = None,
+                            axis: str = "batch", damping: float = 1e-6):
+    """One Gauss-Newton step on a SHARED per-leg kinematic calibration
+    (rho, 4 dims) pooled across a batch of windows sharded over the mesh.
 
-    Row padding: N is padded up to a multiple of the mesh size; padded rows
-    are zero and contribute nothing to the reduction.
+    This is the fleet-calibration capability: one robot, many independent
+    data segments — each window's residuals constrain the same physical calf
+    lengths, so the shared normal equations are the psum over devices of the
+    per-window contributions. The psum is the collective replacement of the
+    reference's 4-pthread normal-equation assembly
+    (marginalization_factor.cpp:246-275); per-window rho blocks are chained
+    into ONE shared block (same delta applied to every frame's rho).
+
+    Returns (new_states with rho shifted by the shared step, dx_rho (4,),
+    H (4,4), b (4,)). Call after batched_solve to refine calibration with
+    strictly more information than any single window carries.
     """
-    F = state.depth.shape[0]
-    n_dev = mesh.shape[axis]
-    r, J, _ = fac.linearize(state, data)
-    N = r.shape[0]
-    pad = (-N) % n_dev
-    r = jnp.pad(r, (0, pad))
-    J = jnp.pad(J, ((0, pad), (0, 0)))
-
-    def local(r_shard, J_shard):
-        H = jax.lax.psum(J_shard.T @ J_shard, axis)
-        b = jax.lax.psum(J_shard.T @ r_shard, axis)
-        return H, b
-
     from jax.experimental.shard_map import shard_map
 
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(axis), P(axis, None)),
-                   out_specs=(P(), P()))
-    return fn(r, J)
+    def per_window(state, data):
+        r, J, _ = fac.linearize(state, data)
+        # chain rule: shared rho delta applies to every frame's rho block
+        cols = [J[:, fac.RHO_OFF + 4 * i: fac.RHO_OFF + 4 * (i + 1)]
+                for i in range(fac.NF)]
+        J_s = sum(cols)                      # (N, 4)
+        return J_s.T @ J_s, J_s.T @ r
+
+    def local(states_shard, datas_shard):
+        H, b = jax.vmap(per_window)(states_shard, datas_shard)
+        H = jnp.sum(H, axis=0)
+        b = jnp.sum(b, axis=0)
+        if mesh is not None:
+            H = jax.lax.psum(H, axis)
+            b = jax.lax.psum(b, axis)
+        return H, b
+
+    if mesh is None:
+        H, b = local(states, datas)
+    else:
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: P(axis), states),
+                      jax.tree.map(lambda _: P(axis), datas)),
+            out_specs=(P(), P()))
+        H, b = fn(states, datas)
+    dtype = H.dtype
+    dx = -jnp.linalg.solve(H + damping * jnp.eye(4, dtype=dtype), b)
+    new_states = states._replace(rho=states.rho + dx[None, None, :])
+    return new_states, dx, H, b

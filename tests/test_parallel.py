@@ -11,7 +11,7 @@ from cerberus_tpu.data.window_builder import build_window_from_sim
 from cerberus_tpu.ops import factors as fac
 from cerberus_tpu.ops.solver import SolveOptions
 from cerberus_tpu.parallel import (
-    batched_solve, distributed_normal_equations, make_mesh, shard_batch)
+    batched_solve, make_mesh, pooled_calibration_step, shard_batch)
 
 
 @pytest.fixture(scope="module")
@@ -53,12 +53,29 @@ def test_batched_solve_sharded_matches_single(problem):
 
 
 @pytest.mark.slow
-def test_distributed_normal_equations_matches_local(problem):
+def test_pooled_calibration_sharded_matches_local(problem):
+    """The psum-reduced shared-rho normal equations must equal the local
+    (unsharded) reduction, and the pooled step must move rho toward truth
+    when every window starts with the same rho offset."""
     data, truth, Fa = problem
     mesh = make_mesh(8)
-    H, b = distributed_normal_equations(truth, data, mesh)
-    r, J, _ = fac.linearize(truth, data)
-    np.testing.assert_allclose(np.asarray(H), np.asarray(J.T @ J),
-                               rtol=1e-9, atol=1e-9)
-    np.testing.assert_allclose(np.asarray(b), np.asarray(J.T @ r),
-                               rtol=1e-9, atol=1e-9)
+    B = 8
+    rng = np.random.default_rng(1)
+    # windows otherwise converged (the intended usage: run the pooled step
+    # AFTER batched_solve), sharing a common 4 mm calibration offset
+    perts = [truth._replace(rho=truth.rho + 0.004) for _ in range(B)]
+    states = jax.tree.map(lambda *xs: jnp.stack(xs), *perts)
+    datas = jax.tree.map(lambda x: jnp.stack([x] * B), data)
+    new_local, dx_local, H_l, b_l = pooled_calibration_step(states, datas)
+    states_sh = shard_batch(states, mesh)
+    datas_sh = shard_batch(datas, mesh)
+    new_sh, dx_sh, H_s, b_s = pooled_calibration_step(states_sh, datas_sh,
+                                                      mesh)
+    np.testing.assert_allclose(np.asarray(H_s), np.asarray(H_l),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(dx_sh), np.asarray(dx_local),
+                               rtol=1e-6, atol=1e-10)
+    # the shared step reduces the rho offset
+    err0 = float(jnp.mean(jnp.abs(states.rho - truth.rho[None])))
+    err1 = float(jnp.mean(jnp.abs(new_sh.rho - truth.rho[None])))
+    assert err1 < err0
