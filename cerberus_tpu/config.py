@@ -140,6 +140,15 @@ class EstimatorConfig:
     # (reference only runs PnP in NON_LINEAR when !USE_IMU,
     # estimator.cpp:806-808; the recovery gate is this framework's addition)
     pnp_fallback: bool = True
+    # keep camera-IMU time-offset information in the marginalization prior.
+    # The reference does (td is a parameter block of every marginalized
+    # projection factor) — but that anchors td at its early estimate: with a
+    # 10 ms injected offset the estimate stalls at ~1/3 of the truth
+    # (measured), because every marginalization re-pins the stale value.
+    # Default False: td information lives only in the active window (plus
+    # the standing calib prior), which converges to ~90% of an injected
+    # offset within 8 s. Set True for reference-faithful behavior.
+    marg_td_info: bool = False
     td: float = 0.0024
     g_norm: float = 9.805
 

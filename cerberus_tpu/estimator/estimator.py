@@ -295,10 +295,15 @@ class Estimator:
             # mono mode: drop right-cam observations (changeSensorType)
             feats = {fid: (o0, v0, None, v1)
                      for fid, (o0, v0, o1, v1) in feats.items()}
-        # 1. interval measurements + preintegration + state propagation
+        # 1. interval measurements + preintegration + state propagation.
+        # The interval is drained to t + td (the exposure instant under the
+        # RUNNING time-offset estimate — reference: curTime = t + td,
+        # estimator.cpp:414), which is what makes recording cur_td per
+        # observation consistent: the projection factor then only corrects
+        # by the CHANGE (td - cur_td) since registration.
         if fc > 0:
             k = fc - 1 if self.solver_flag == self.INITIAL else 9
-            self._close_interval(k, t)
+            self._close_interval(k, t + self.td)
             if self.cfg.use_imu:
                 self._propagate_frame(k)
             else:
@@ -716,6 +721,9 @@ class Estimator:
                     self.last_debug["born_prior"] = born
                 print(f"[marg_old] born prior cost {born:.1f} valid={bool(valid)}")
             if bool(valid):
+                if not self.cfg.marg_td_info:
+                    # drop td coupling from the prior (see config.marg_td_info)
+                    pj = pj.at[:, fac.TD_OFF].set(0.0)
                 self.prior = (pj, pr, lin)  # device-resident
             if self.keyframe_callback is not None:
                 # emit the frame leaving the window: final refined pose, its
@@ -747,6 +755,8 @@ class Estimator:
                     print(f"[marg_new] born prior cost {born:.1f} "
                           f"valid={bool(valid)}")
                 if bool(valid):
+                    if not self.cfg.marg_td_info:
+                        pj = pj.at[:, fac.TD_OFF].set(0.0)
                     self.prior = (pj, pr, lin)
             self._slide_new()
 
