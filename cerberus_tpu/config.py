@@ -149,7 +149,12 @@ class EstimatorConfig:
     # the standing calib prior), which converges to ~90% of an injected
     # offset within 8 s. Set True for reference-faithful behavior.
     marg_td_info: bool = False
-    td: float = 0.0024
+    # initial camera-IMU time offset (image clock + td = IMU clock). Neutral
+    # 0.0 default: intervals are drained to t + td (the exposure instant
+    # under the running estimate), so a nonzero td asserts a REAL offset in
+    # the data. The reference's hardware YAMLs set 0.0024 (a1/go1 yaml:99)
+    # and load_yaml picks that up; synthetic zero-offset data must not.
+    td: float = 0.0
     g_norm: float = 9.805
 
     # standing weak prior bounding the wander of the weakly-observable
@@ -207,9 +212,11 @@ class EstimatorConfig:
     def gravity(self) -> np.ndarray:
         return np.array([0.0, 0.0, self.g_norm])
 
-    def ric_tic(self):
-        """Returns ((num_cam,3,3) R_imu_cam, (num_cam,3) t_imu_cam)."""
-        Ts = [np.array(self.body_T_cam0), np.array(self.body_T_cam1)][: self.num_of_cam]
+    def ric_tic(self, n: int | None = None):
+        """Returns ((n,3,3) R_imu_cam, (n,3) t_imu_cam); n defaults to
+        num_of_cam. The estimator packs n=2 regardless of mode (static
+        shapes; mono masks the cam-1 residuals instead of shrinking)."""
+        Ts = [np.array(self.body_T_cam0), np.array(self.body_T_cam1)][: n or self.num_of_cam]
         ric = np.stack([T[:3, :3] for T in Ts])
         tic = np.stack([T[:3, 3] for T in Ts])
         return ric, tic

@@ -218,7 +218,7 @@ class Estimator:
     def clear_state(self):
         """Full reboot (reference: clearState, estimator.cpp:24-110)."""
         cfg = self.cfg
-        ric, tic = cfg.ric_tic()
+        ric, tic = cfg.ric_tic(n=2)  # state always holds 2 cams (mono masks)
         self.p = np.zeros((NF, 3))
         self.q = np.tile([1.0, 0, 0, 0], (NF, 1))
         self.v = np.zeros((NF, 3))
@@ -562,8 +562,8 @@ class Estimator:
             cw[[3, 4, 5, 9, 10, 11]] = 1.0 / self.cfg.ex_prior_sigma_r
         if self.cfg.td_prior_sigma > 0:
             cw[12] = 1.0 / self.cfg.td_prior_sigma
-        ric_ref, tic_ref = self.cfg.ric_tic()
-        qic_ref = np.stack([_rot_to_quat_np(ric_ref[i]) for i in range(2)])
+        ric_ref, tic_ref = self.cfg.ric_tic(n=2)  # static 2-cam packing even
+        qic_ref = np.stack([_rot_to_quat_np(ric_ref[i]) for i in range(2)])  # in mono mode
         preints = self.preints if self.cfg.use_imu else [None] * 10
         data = pack_window_data(
             preints, feats, prior=self.prior,
