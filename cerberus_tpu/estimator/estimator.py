@@ -720,11 +720,20 @@ class Estimator:
                 if hasattr(self, "last_debug"):
                     self.last_debug["born_prior"] = born
                 print(f"[marg_old] born prior cost {born:.1f} valid={bool(valid)}")
-            if bool(valid):
-                if not self.cfg.marg_td_info:
-                    # drop td coupling from the prior (see config.marg_td_info)
-                    pj = pj.at[:, fac.TD_OFF].set(0.0)
-                self.prior = (pj, pr, lin)  # device-resident
+            if not self.cfg.marg_td_info:
+                # drop td coupling from the prior (see config.marg_td_info)
+                pj = pj.at[:, fac.TD_OFF].set(0.0)
+            # device-resident prior with the validity flag folded in:
+            # bool(valid) here would block the host on the whole
+            # marginalization program every frame (~150 ms through a
+            # relayed TPU). Invalid ("unstable tracking",
+            # marginalization_factor.cpp:205-210) DROPS the prior — the
+            # reference also swaps in the invalid info and skips the
+            # factor (estimator.cpp:1107) — zeroing keeps that exact
+            # semantic without a sync.
+            pj = jnp.where(valid, pj, 0.0)
+            pr = jnp.where(valid, pr, 0.0)
+            self.prior = (pj, pr, lin, valid)
             if self.keyframe_callback is not None:
                 # emit the frame leaving the window: final refined pose, its
                 # observed feature ids, and per-feature (normalized obs,
@@ -754,10 +763,11 @@ class Estimator:
                     born = float(0.5 * jnp.sum(pr ** 2))
                     print(f"[marg_new] born prior cost {born:.1f} "
                           f"valid={bool(valid)}")
-                if bool(valid):
-                    if not self.cfg.marg_td_info:
-                        pj = pj.at[:, fac.TD_OFF].set(0.0)
-                    self.prior = (pj, pr, lin)
+                if not self.cfg.marg_td_info:
+                    pj = pj.at[:, fac.TD_OFF].set(0.0)
+                pj = jnp.where(valid, pj, 0.0)   # see MARGIN_OLD branch
+                pr = jnp.where(valid, pr, 0.0)
+                self.prior = (pj, pr, lin, valid)
             self._slide_new()
 
     def _slide_old(self):

@@ -130,10 +130,14 @@ def pack_window_data(
         prior_valid = jnp.asarray(False)
         prior_lin = fac.WindowState.zero(F, dtype)
     else:
-        prior_J, prior_r, prior_lin = prior
+        # (J, r, lin) or (J, r, lin, valid): the 4th element is a DEVICE
+        # bool carrying marginalization validity without a host sync
+        # (estimator._post_solve keeps the whole prior device-resident)
+        prior_J, prior_r, prior_lin = prior[:3]
         prior_J = f(prior_J)
         prior_r = f(prior_r)
-        prior_valid = jnp.asarray(True)
+        prior_valid = (jnp.asarray(prior[3], bool) if len(prior) > 3
+                       else jnp.asarray(True))
         prior_lin = prior_lin._replace(depth=jnp.zeros((F,), dtype))
 
     if free_mask is None:

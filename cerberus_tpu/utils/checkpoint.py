@@ -28,9 +28,11 @@ def save_estimator(est, path: str):
         fm_vel_r=fm.vel_r, fm_td=fm.td, fm_depth=fm.depth,
     )
     if est.prior is not None:
-        pj, pr, lin = est.prior
+        pj, pr, lin = est.prior[:3]
         payload["prior_J"] = np.asarray(pj)
         payload["prior_r"] = np.asarray(pr)
+        payload["prior_valid"] = np.asarray(
+            est.prior[3] if len(est.prior) > 3 else True)
         for k in ("p", "q", "v", "ba", "bg", "rho", "tic", "qic"):
             payload[f"prior_lin_{k}"] = np.asarray(getattr(lin, k))
         payload["prior_lin_td"] = np.asarray(lin.td)
@@ -94,7 +96,9 @@ def load_estimator(est, path: str):
                               for k in ("p", "q", "v", "ba", "bg", "rho",
                                         "tic", "qic")},
                            td=jnp.asarray(z["prior_lin_td"]))
-        est.prior = (z["prior_J"], z["prior_r"], lin)
+        valid = jnp.asarray(z["prior_valid"]) if "prior_valid" in z \
+            else jnp.asarray(True)
+        est.prior = (z["prior_J"], z["prior_r"], lin, valid)
     else:
         est.prior = None
     for k in range(10):
