@@ -470,8 +470,15 @@ class Estimator:
         if n < 2:
             return None
         n = min(n, self.S)
-        dt = np.zeros(self.S)
-        arr = {k: np.zeros((self.S,) + np.asarray(getattr(buf, k)[0]).shape)
+        # size buckets: the preintegration scan is SEQUENTIAL, so its padded
+        # length sits directly on the streaming latency path. A normal
+        # 15 Hz interval holds ~34 samples (bucket 48); only the
+        # MARGIN_SECOND_NEW splice (~67) needs the full capacity. jit
+        # specializes per bucket, so this costs one extra compile, not a
+        # recompile per length.
+        S = next((b for b in (48, self.S) if n <= b and b <= self.S), self.S)
+        dt = np.zeros(S)
+        arr = {k: np.zeros((S,) + np.asarray(getattr(buf, k)[0]).shape)
                for k in ("acc", "gyr", "phi", "dphi", "c")}
         ts = np.asarray(buf.t[:n])
         dt[1:n] = np.diff(ts)
@@ -479,7 +486,7 @@ class Estimator:
             vals = getattr(buf, key)[:n]
             arr[key][:n] = np.stack(vals)
             arr[key][n:] = arr[key][n - 1]
-        mask = np.zeros(self.S, bool)
+        mask = np.zeros(S, bool)
         mask[1:n] = True
         return self._preint(
             jnp.asarray(dt), jnp.asarray(arr["acc"]), jnp.asarray(arr["gyr"]),
