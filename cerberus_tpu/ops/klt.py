@@ -99,51 +99,77 @@ def _patch_grid(half: int, dtype):
     return jnp.stack([gx, gy], -1).reshape(-1, 2)  # (P^2, 2)
 
 
+def _hat(centers: jax.Array, half: int, size: int) -> jax.Array:
+    """(N, P, size) separable bilinear-interpolation rows.
+
+    Row j of feature f is the hat function max(0, 1 - |w - x_fj|) over pixel
+    index w, where x_fj = clip(centers[f] + (j - half)). A (N,P,size) @
+    (size, other) contraction therefore EQUALS bilinear sampling along this
+    axis (two nonzero taps (1-frac, frac) per row — identical math to the
+    gather-based _bilinear incl. border clamping)."""
+    dtype = centers.dtype
+    offs = jnp.arange(-half, half + 1, dtype=dtype)              # (P,)
+    xi = jnp.clip(centers[:, None] + offs[None, :], 0.0, size - 1.001)
+    w = jnp.arange(size, dtype=dtype)                            # (size,)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(w[None, None, :] - xi[:, :, None]))
+
+
+def _sample_patches(imgs: list[jax.Array], cx, cy, half: int):
+    """Bilinear (P, P) patches of each image at centers (cx, cy) (N,) —
+    as two MXU contractions per image instead of 4-way gathers. TPU gathers
+    run near-scalar speed (measured ~130 ms per 640x480 stream-track on
+    v5e); the dense separable form is ~2 orders of magnitude faster and is
+    exactly equal bilinear math."""
+    H, W = imgs[0].shape
+    Ry = _hat(cy, half, H)                                       # (N, P, H)
+    Rx = _hat(cx, half, W)                                       # (N, P, W)
+    # contract width first: (N, P, W) x (H, W) -> (N, P, H)  [MXU]
+    out = []
+    for img in imgs:
+        t1 = jnp.einsum("fxw,hw->fxh", Rx, img)
+        out.append(jnp.einsum("fyh,fxh->fyx", Ry, t1))           # (N, P, P)
+    return out
+
+
 @partial(jax.jit, static_argnames=("half", "iters", "min_eig", "margin"))
 def _lk_level(img0, ix0, iy0, img1, pts, guess, half=10, iters=10,
               min_eig=1e-4, margin=1):
     """One pyramid level of LK for all points. pts/guess in THIS level's
     pixels. Returns (new_guess, ok, err)."""
-    dtype = img0.dtype
-    grid = _patch_grid(half, dtype)                      # (P2, 2)
     H, W = img0.shape
+    P2 = (2 * half + 1) ** 2
+    t, gx, gy = _sample_patches([img0, ix0, iy0], pts[:, 0], pts[:, 1], half)
+    gxx = jnp.sum(gx * gx, axis=(1, 2))
+    gxy = jnp.sum(gx * gy, axis=(1, 2))
+    gyy = jnp.sum(gy * gy, axis=(1, 2))
+    det = gxx * gyy - gxy * gxy
+    tr = gxx + gyy
+    mineig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
+    ok_g = mineig / P2 > min_eig
+    inv = jnp.where(det > 1e-12, 1.0 / jnp.maximum(det, 1e-12), 0.0)
 
-    def one(p0, g):
-        coords0 = p0[None, :] + grid                     # (P2, 2)
-        t = _bilinear(img0, coords0)
-        gx = _bilinear(ix0, coords0)
-        gy = _bilinear(iy0, coords0)
-        gxx = jnp.sum(gx * gx)
-        gxy = jnp.sum(gx * gy)
-        gyy = jnp.sum(gy * gy)
-        det = gxx * gyy - gxy * gxy
-        tr = gxx + gyy
-        mineig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
-        ok_g = mineig / grid.shape[0] > min_eig
-        inv = jnp.where(det > 1e-12, 1.0 / jnp.maximum(det, 1e-12), 0.0)
+    def body(_, v):
+        (cur,) = _sample_patches([img1], pts[:, 0] + v[:, 0],
+                                 pts[:, 1] + v[:, 1], half)
+        d = cur - t
+        bx = jnp.sum(d * gx, axis=(1, 2))
+        by = jnp.sum(d * gy, axis=(1, 2))
+        dv = -inv[:, None] * jnp.stack([gyy * bx - gxy * by,
+                                        gxx * by - gxy * bx], axis=1)
+        return v + dv
 
-        def body(_, v):
-            cur = _bilinear(img1, p0[None, :] + v[None, :] + grid)
-            d = cur - t
-            bx = jnp.sum(d * gx)
-            by = jnp.sum(d * gy)
-            dv = -inv * jnp.array([gyy * bx - gxy * by,
-                                   gxx * by - gxy * bx])
-            return v + dv
-
-        v = jax.lax.fori_loop(0, iters, body, g - p0)
-        cur = _bilinear(img1, p0[None, :] + v[None, :] + grid)
-        err = jnp.mean(jnp.abs(cur - t))
-        newp = p0 + v
-        # patch sampling clamps at borders, so only a small margin is
-        # required per level; the caller applies the strict half-window
-        # margin at the finest level (OpenCV-equivalent behavior — a point
-        # near the border of a COARSE level is still trackable).
-        inb = ((newp[0] >= margin) & (newp[0] < W - margin)
-               & (newp[1] >= margin) & (newp[1] < H - margin))
-        return newp, ok_g & inb, err
-
-    return jax.vmap(one)(pts, guess)
+    v = jax.lax.fori_loop(0, iters, body, guess - pts)
+    (cur,) = _sample_patches([img1], pts[:, 0] + v[:, 0],
+                             pts[:, 1] + v[:, 1], half)
+    err = jnp.mean(jnp.abs(cur - t), axis=(1, 2))
+    newp = pts + v
+    # patch sampling clamps at borders, so only a small margin is
+    # required per level; the caller applies the strict half-window
+    # margin at the finest level (OpenCV-equivalent behavior — a point
+    # near the border of a COARSE level is still trackable).
+    inb = ((newp[:, 0] >= margin) & (newp[:, 0] < W - margin)
+           & (newp[:, 1] >= margin) & (newp[:, 1] < H - margin))
+    return newp, ok_g & inb, err
 
 
 def lk_track(pyr0: list[jax.Array], pyr1: list[jax.Array], pts: jax.Array,

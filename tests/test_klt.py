@@ -133,3 +133,20 @@ def test_device_tracker_stream(rng):
     dis = np.median([feats_hist[3][fid][2][0] - feats_hist[3][fid][0][0]
                      for fid in st])
     assert abs(dis - (-0.04)) < 0.015, dis
+
+
+def test_sample_patches_equals_gather_bilinear(rng):
+    """The separable hat-matrix patch sampler (MXU form) must equal the
+    gather-based bilinear reference exactly (same clamping, same taps)."""
+    import jax.numpy as jnp
+    from cerberus_tpu.ops.klt import (_bilinear, _patch_grid, _sample_patches)
+
+    H, W, half = 48, 64, 5
+    img = jnp.asarray(rng.uniform(0, 255, size=(H, W)).astype(np.float32))
+    pts = jnp.asarray(
+        rng.uniform([-3, -3], [W + 3, H + 3], size=(12, 2)).astype(np.float32))
+    grid = _patch_grid(half, jnp.float32)
+    ref = np.stack([np.asarray(_bilinear(img, p[None, :] + grid))
+                    .reshape(2 * half + 1, 2 * half + 1) for p in pts])
+    (got,) = _sample_patches([img], pts[:, 0], pts[:, 1], half)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=0, atol=2e-3)
