@@ -11,13 +11,25 @@ and the two triangular solves; fusing the three stages in VMEM is the win.
 Matrices are padded to a multiple of 128 (lane width). For n = 384 (the
 window system) one problem occupies 384*384*4 B = 590 KB of VMEM.
 
-STATUS: experimental / opt-in. Numerically correct (tests/test_pallas_kernels.py
-compares against the XLA path, interpret mode). On this environment's remote
-Mosaic compiler the 384-dim kernel compiles impractically slowly (the
-one-hot column recurrences unroll into very large MLIR), so the solver keeps
-the XLA `jnp.linalg.cholesky` path as default; revisit with a
-`PrefetchScalarGridSpec` panel formulation or once Mosaic lowers 1-D
-dots/dynamic_slice natively.
+STATUS: benchmarked, NOT the default — XLA wins this op and the numbers say
+so. Measured on v5e (forced-fetch timing, n=222 production system, net of
+the ~25 ms relay roundtrip):
+
+  B=128:  XLA chol+cho_solve ~7.7 ms   | this kernel ~60 ms
+  B=1:    XLA ~0.1 ms                  | this kernel ~0.6 ms
+  f32 accuracy vs f64: XLA ~1e-3 rel   | this kernel ~8e-3 rel
+    (one-hot column recurrences accumulate worse than XLA's blocked factor)
+
+The per-batch-element grid serializes on the single TensorCore, while XLA's
+batched Cholesky vectorizes each column step across the whole batch — a
+structural loss for this kernel shape at any batch size, not a tuning gap.
+(Compile time is NOT the blocker anymore: ~0.8 s.) Kept as a working,
+tested example of a fused multi-stage Pallas kernel (factor + two
+triangular solves without leaving VMEM); the solver's production path is
+jnp.linalg.cholesky + cho_solve. The Pallas-shaped hot spot in this
+framework turned out to be the KLT patch gathers — solved with an
+MXU-native separable formulation instead (ops/klt.py::_sample_patches,
+33x; gathers were the TPU sin, and the fix didn't need a custom kernel).
 """
 
 from __future__ import annotations
