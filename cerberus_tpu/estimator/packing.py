@@ -24,6 +24,55 @@ def whiten_chol(P: jax.Array, jitter: float = 0.0) -> jax.Array:
     return jnp.linalg.cholesky(Ps)
 
 
+_ZERO_PRE: dict = {}
+
+
+def _zero_pre(dtype) -> ILPreint:
+    """Placeholder ILPreint for invalid intervals (identity dq, identity P
+    so the cholesky stays defined)."""
+    key = jnp.dtype(dtype).name
+    if key not in _ZERO_PRE:
+        z = lambda *s: jnp.zeros(s, dtype)
+        _ZERO_PRE[key] = ILPreint(
+            dp=z(3), dq=jnp.asarray([1.0, 0, 0, 0], dtype), dv=z(3),
+            deps=z(4, 3), sum_deps=z(3), J=z(31, 31),
+            P=jnp.eye(31, dtype=dtype), sum_dt=z(), ba=z(3), bg=z(3),
+            rho=z(4), contact_flag=z(4), integration_contact=jnp.zeros((4,), bool))
+    return _ZERO_PRE[key]
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("use_leg_odom", "cov_jitter"))
+def _stack_preints(pres, valid, *, use_leg_odom: bool, cov_jitter: float):
+    """Stack 10 ILPreints into the WindowData preint fields in ONE jitted
+    program. The eager per-field jnp.stack version dispatched ~110 small ops
+    per frame (~40 ms/frame of host time on the streaming path)."""
+    s = jax.tree.map(lambda *xs: jnp.stack(xs), *pres)
+    pre_P = jnp.where(valid[:, None, None], s.P,
+                      jnp.eye(31, dtype=s.P.dtype)[None])
+    if not use_leg_odom:
+        # vision+IMU-only mode: decouple the leg rows (eps 9:21, rho 27:31)
+        # and inflate their variance — the reference's own all-feet-airborne
+        # mechanism (imu_leg_integration_base.cpp:353-358); it swaps
+        # IMULegFactor for the 15-dim IMUFactor (estimator.cpp:1122-1171).
+        leg = np.zeros(31, bool)
+        leg[9:21] = True
+        leg[27:31] = True
+        keep = jnp.asarray(~leg, s.P.dtype)
+        pre_P = pre_P * keep[None, :, None] * keep[None, None, :] \
+            + jnp.diag(jnp.asarray(leg, s.P.dtype) * 1e10)[None]
+    pre_L = whiten_chol(pre_P, jitter=cov_jitter)
+    bad = jnp.any(jnp.isnan(pre_L), axis=(1, 2))
+    pre_L = jnp.where(bad[:, None, None],
+                      jnp.eye(31, dtype=pre_L.dtype)[None], pre_L)
+    # sum_dt > 10 s excluded (reference: estimator.cpp:1119)
+    valid = valid & (s.sum_dt < 10.0)
+    return (s.dp, s.dq, s.dv, s.deps, s.J, pre_L, s.sum_dt, s.ba, s.bg,
+            s.rho, valid)
+
+
 def default_free_mask(optimize_leg_bias=True, optimize_extrinsic=False,
                       optimize_td=False, use_imu=True) -> np.ndarray:
     """(222,) bool free mask (reference: estimator.cpp:1065-1105
@@ -65,51 +114,20 @@ def pack_window_data(
     """
     f = lambda x: jnp.asarray(x, dtype)
 
-    def stack(getter, shape, default=0.0):
-        rows = []
-        for pre in preints:
-            if pre is not None:
-                rows.append(jnp.asarray(getter(pre), dtype))
-            else:
-                d = jnp.zeros(shape, dtype)
-                if shape == (4,):  # identity quaternion default
-                    d = d.at[0].set(1.0)
-                rows.append(d)
-        return jnp.stack(rows)
+    zero = _zero_pre(dtype)
 
-    pre_dp = stack(lambda p: p.dp, (3,))
-    pre_dq = stack(lambda p: p.dq, (4,))
-    pre_dv = stack(lambda p: p.dv, (3,))
-    pre_deps = stack(lambda p: p.deps, (4, 3))
-    pre_J = stack(lambda p: p.J, (31, 31))
-    pre_P = stack(lambda p: p.P, (31, 31))
-    pre_dt = stack(lambda p: p.sum_dt, ())
-    pre_ba = stack(lambda p: p.ba, (3,))
-    pre_bg = stack(lambda p: p.bg, (3,))
-    pre_rho = stack(lambda p: p.rho, (4,))
-    valid = jnp.array([p is not None for p in preints])
-    # invalid intervals get identity covariance to keep cholesky defined
-    pre_P = jnp.where(valid[:, None, None], pre_P,
-                      jnp.eye(31, dtype=dtype)[None])
-    if not use_leg_odom:
-        # vision+IMU-only mode: the reference swaps IMULegFactor for the
-        # 15-dim IMUFactor (estimator.cpp:1122-1171). Same effect here by
-        # decoupling the leg rows (eps 9:21, rho 27:31) and inflating their
-        # variance so the whitened leg residuals carry ~zero information —
-        # the mechanism the reference itself uses for all-feet-airborne
-        # (imu_leg_integration_base.cpp:353-358).
-        leg = np.zeros(31, bool)
-        leg[9:21] = True
-        leg[27:31] = True
-        keep = jnp.asarray(~leg, dtype)
-        pre_P = pre_P * keep[None, :, None] * keep[None, None, :] \
-            + jnp.diag(jnp.asarray(leg, dtype) * 1e10)[None]
-    pre_L = whiten_chol(pre_P, jitter=cov_jitter)
-    # guard: if cholesky failed (non-PSD), fall back to identity whitening
-    bad = jnp.any(jnp.isnan(pre_L), axis=(1, 2))
-    pre_L = jnp.where(bad[:, None, None], jnp.eye(31, dtype=dtype)[None], pre_L)
-    # sum_dt > 10 s excluded (reference: estimator.cpp:1119)
-    valid = valid & (pre_dt < 10.0)
+    def _co(x):  # coerce float leaves to the pack dtype, keep bools intact
+        x = jnp.asarray(x)
+        return x.astype(dtype) if (jnp.issubdtype(x.dtype, jnp.floating)
+                                   and x.dtype != dtype) else x
+
+    pres = tuple(zero if p is None else jax.tree.map(_co, p)
+                 for p in preints)
+    valid_np = np.array([p is not None for p in preints])
+    (pre_dp, pre_dq, pre_dv, pre_deps, pre_J, pre_L, pre_dt, pre_ba,
+     pre_bg, pre_rho, valid) = _stack_preints(
+        pres, jnp.asarray(valid_np), use_leg_odom=use_leg_odom,
+        cov_jitter=cov_jitter)
 
     Fa = features["start"].shape[0]
     assert Fa <= F, f"too many features {Fa} > {F}"
