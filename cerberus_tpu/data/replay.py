@@ -74,12 +74,13 @@ def replay(sim: dict, cfg: EstimatorConfig | None = None,
                 est_t.append(t[k])
                 est_p.append(p)
                 est_q.append(q)
-                gt_p.append(sim["p"][k])
+                gt_k = sim["p"][k] if "p" in sim else np.full(3, np.nan)
+                gt_p.append(gt_k)
                 if writer is not None:
                     kf = (ekf.get_state()[:6] if ekf is not None
                           and ekf.is_inited() else np.zeros(6))
                     writer.row([t[k] * 1e9, *p, *est.velocity, *kf[0:3],
-                                *kf[3:6], *sim["p"][k], *est.rho[-1]])
+                                *kf[3:6], *gt_k, *est.rho[-1]])
 
     if writer is not None:
         writer.close()
@@ -186,12 +187,13 @@ def replay_images(sim: dict, cfg=None, est: Estimator | None = None,
                 est_t.append(t[k])
                 est_p.append(p)
                 est_q.append(q)
-                gt_p.append(sim["p"][k])
+                gt_k = sim["p"][k] if "p" in sim else np.full(3, np.nan)
+                gt_p.append(gt_k)
                 if writer is not None:
                     kf = (ekf.get_state()[:6] if ekf is not None
                           and ekf.is_inited() else np.zeros(6))
                     writer.row([t[k] * 1e9, *p, *est.velocity, *kf[0:3],
-                                *kf[3:6], *sim["p"][k], *est.rho[-1]])
+                                *kf[3:6], *gt_k, *est.rho[-1]])
     if writer is not None:
         writer.close()
     est_p = np.array(est_p) if est_p else np.zeros((0, 3))
@@ -228,6 +230,11 @@ def score(est_p: np.ndarray, gt_p: np.ndarray) -> dict:
     errors (same convention as the TUM/EVO 4-DoF ATE used for VIO)."""
     if len(est_p) < 2:
         return dict(ate_rmse=np.inf, drift_pct=np.inf, distance=0.0)
+    if not np.all(np.isfinite(gt_p)):
+        # logged dataset without ground truth (no mocap.csv): the replay
+        # still runs and writes outputs, but accuracy is unscorable
+        return dict(ate_rmse=np.nan, drift_pct=np.nan, distance=np.nan,
+                    final_err=np.nan)
     a = est_p - est_p[0]
     b = gt_p - gt_p[0]
     # closed-form yaw Procrustes about z: maximize sum of planar dot products
@@ -243,3 +250,106 @@ def score(est_p: np.ndarray, gt_p: np.ndarray) -> dict:
     drift = 100.0 * final_err / max(dist, 1e-9)
     return dict(ate_rmse=ate, drift_pct=drift, distance=dist,
                 final_err=final_err, yaw_align_deg=float(np.degrees(th)))
+
+
+def _main():
+    """CLI replay driver — the reference's `roslaunch vilo run_*_bag_vilo`
+    equivalent (launch/dataset/*.launch): stream a logged dataset (or a
+    synthetic run) through the full estimator and report drift/ATE.
+
+    Examples:
+      python -m cerberus_tpu.data.replay --dataset /data/street_v1 --images
+      python -m cerberus_tpu.data.replay --sim 30 --path street --csv out.csv
+    """
+    import argparse
+    import json as _json
+
+    ap = argparse.ArgumentParser(description=_main.__doc__)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--dataset", help="schema-v1 dataset directory "
+                                       "(data/log_adapter.py)")
+    src.add_argument("--sim", type=float, metavar="SECONDS",
+                     help="synthetic run of this duration instead of a log")
+    ap.add_argument("--config", help="reference-style YAML config "
+                                     "(defaults to A1-shaped defaults)")
+    ap.add_argument("--path", default="street", help="--sim trajectory shape")
+    ap.add_argument("--speed", type=float, default=0.5)
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--images", action="store_true",
+                    help="run the image front-end (dataset: cam.csv images; "
+                         "sim: rendered stereo) instead of ideal features")
+    ap.add_argument("--tracker", default="cv", choices=["cv", "device"])
+    ap.add_argument("--focal", type=float, default=460.0,
+                    help="dataset image focal length (px)")
+    ap.add_argument("--csv", help="write the 20-column result CSV")
+    ap.add_argument("--metrics", help="write a JSONL metrics stream")
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--platform", default="auto",
+                    choices=["auto", "cpu", "tpu"])
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from cerberus_tpu.config import EstimatorConfig, load_yaml
+
+    cfg = load_yaml(args.config) if args.config else EstimatorConfig()
+    est = Estimator(cfg, dtype=jnp.float32 if on_tpu else jnp.float64)
+    if args.metrics:
+        from cerberus_tpu.utils.metrics import MetricsLogger
+        est.metrics = MetricsLogger(args.metrics)
+
+    renderer = None
+    if args.dataset:
+        from cerberus_tpu.data.log_adapter import ImageLoader, load_dataset
+        data = load_dataset(args.dataset)
+        if args.images:
+            renderer = ImageLoader(data, args.focal,
+                                   cfg.image_width / 2.0,
+                                   cfg.image_height / 2.0)
+    else:
+        from cerberus_tpu.data.simulator import ImageRenderer, SimConfig, \
+            simulate
+        data = simulate(SimConfig(duration=args.sim, speed=args.speed,
+                                  path=args.path, seed=args.seed))
+        if args.images:
+            renderer = ImageRenderer(data, cfg)
+
+    if not args.images and "features" not in data:
+        raise SystemExit(
+            "dataset has no features.npz — pass --images to run the "
+            "KLT front-end on cam.csv imagery (vision is required: the "
+            "reference asserts stereo+IMU, parameters.cpp:273)")
+    if args.images:
+        tracker = None
+        if args.tracker == "device":
+            from cerberus_tpu.frontend.device_tracker import DeviceTracker
+            from cerberus_tpu.frontend.tracker import PinholeCamera
+            cams = [PinholeCamera(renderer.f, renderer.f, renderer.cx,
+                                  renderer.cy, size=(renderer.W, renderer.H))
+                    for _ in range(2)]
+            tracker = DeviceTracker(cams[0], cams[1], max_cnt=cfg.max_cnt,
+                                    min_dist=cfg.min_dist,
+                                    flow_back=cfg.flow_back)
+        out = replay_images(data, est=est, renderer=renderer, tracker=tracker,
+                            csv_path=args.csv, max_frames=args.max_frames)
+    else:
+        out = replay(data, est=est, csv_path=args.csv,
+                     max_frames=args.max_frames)
+    print(_json.dumps({k: round(float(v), 5) if isinstance(v, (int, float))
+                       else v for k, v in out.items()
+                       if k in ("drift_pct", "ate_rmse", "distance",
+                                "final_err")}
+                      | {"solves": est.stats["solves"],
+                         "reboots": est.stats["reboots"],
+                         "platform": jax.devices()[0].platform}))
+
+
+if __name__ == "__main__":
+    _main()
