@@ -28,8 +28,14 @@ class LoopCloser:
 
     def __init__(self, cfg=None, focal: float = 460.0, cx: float = 320.0,
                  cy: float = 240.0, min_matches: int = 12,
-                 min_sim: float = 0.85, exclude_last: int = 40,
+                 min_sim: float = 0.60, exclude_last: int = 40,
                  optimize_every: int = 10):
+        # min_sim gates only the PROPOSAL; every candidate still has to
+        # survive mutual-best ZNCC patch matching (>= min_matches) and
+        # RANSAC PnP before an edge is added, so a permissive default is
+        # safe (0.85 found zero candidates over a 240 s rendered circuit
+        # whose true revisit similarity peaked lower; measured via
+        # stats['best_sim']).
         from cerberus_tpu.config import EstimatorConfig
         self.cfg = cfg or EstimatorConfig()
         ric, tic = self.cfg.ric_tic()
@@ -44,6 +50,7 @@ class LoopCloser:
         self.optimize_every = optimize_every
         self.loops_found = 0
         self.loops_rejected = 0
+        self.best_sim = -1.0   # max place-recognition score seen (diagnostic)
         self._since_opt = 0
 
     # ------------------------------------------------------------------
@@ -69,10 +76,12 @@ class LoopCloser:
                                   self.f * uv[:, 1] + self.cy])
             rec["descs"], rec["ok"] = desc.extract_patches(img, px)
             g = desc.tiny_image(img)
-            cand = self.index.query(g, self.exclude_last, self.min_sim)
+            cand = self.index.query(g, self.exclude_last, min_sim=0.0)
             self.index.add(g)
             if cand is not None:
-                self._try_close(cand[0], rec)
+                self.best_sim = max(self.best_sim, cand[1])
+                if cand[1] >= self.min_sim:
+                    self._try_close(cand[0], rec)
         else:
             self.index.add(np.zeros(desc.TINY_H * desc.TINY_W, np.float32))
             rec["descs"] = np.zeros((len(fids), desc.PATCH_DIM), np.float32)

@@ -112,10 +112,14 @@ class PlaceIndex:
         return k
 
     def query(self, desc: np.ndarray, exclude_last: int = 40,
-              min_sim: float = 0.85):
-        """Best matching past keyframe id (or None). exclude_last keeps
-        recent keyframes from matching themselves (reference loop_fusion
-        skips recent frames the same way)."""
+              min_sim: float = 0.0):
+        """Best matching past keyframe (id, cosine) — or None when the
+        database is empty-after-exclusion or below min_sim. exclude_last
+        keeps recent keyframes from matching themselves (reference
+        loop_fusion skips recent frames the same way). Callers that gate on
+        similarity themselves should pass min_sim=0 and read the score —
+        place recognition only PROPOSES; geometric verification (patch
+        matching + RANSAC PnP) is the accept/reject authority."""
         m = self.n - exclude_last
         if m <= 0:
             return None

@@ -168,6 +168,7 @@ def main():
         result["loop"] = dict(
             loops_found=closer.loops_found,
             loops_rejected=closer.loops_rejected,
+            best_sim=round(closer.best_sim, 3),
             keyframes=closer.pg.n,
             corrected_drift_pct=round(m_loop["drift_pct"], 4),
             corrected_ate_m=round(m_loop["ate_rmse"], 4),
