@@ -235,6 +235,9 @@ def score(est_p: np.ndarray, gt_p: np.ndarray) -> dict:
         # still runs and writes outputs, but accuracy is unscorable
         return dict(ate_rmse=np.nan, drift_pct=np.nan, distance=np.nan,
                     final_err=np.nan)
+    if est_p.shape[1] == 2:   # planar callers (e.g. ground-referenced EKF)
+        est_p = np.column_stack([est_p, np.zeros(len(est_p))])
+        gt_p = np.column_stack([gt_p, np.zeros(len(gt_p))])
     a = est_p - est_p[0]
     b = gt_p - gt_p[0]
     # closed-form yaw Procrustes about z: maximize sum of planar dot products

@@ -183,11 +183,22 @@ def main():
             print(f"config 6 ({name}):", results[f"6_image_vilo_{name}"],
                   flush=True)
 
+    existing = {}
+    if os.path.exists(args.out):   # merge: configs can run in separate
+        try:                       # invocations (different durations)
+            with open(args.out) as f:
+                existing = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            existing = {}
+    results["_meta"] = dict(platform=jax.devices()[0].platform,
+                            dtype=str(dtype.__name__),
+                            duration_s=args.duration,
+                            durations={**existing.get("_meta", {}).get(
+                                "durations", {}),
+                                **{k: args.duration for k in results}})
+    existing.update(results)
     with open(args.out, "w") as f:
-        results["_meta"] = dict(platform=jax.devices()[0].platform,
-                                dtype=str(dtype.__name__),
-                                duration_s=args.duration)
-        json.dump(results, f, indent=1)
+        json.dump(existing, f, indent=1)
     print(json.dumps({"wrote": args.out, "configs": sorted(results)}))
 
 
