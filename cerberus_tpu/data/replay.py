@@ -235,9 +235,15 @@ def score(est_p: np.ndarray, gt_p: np.ndarray) -> dict:
         # still runs and writes outputs, but accuracy is unscorable
         return dict(ate_rmse=np.nan, drift_pct=np.nan, distance=np.nan,
                     final_err=np.nan)
-    if est_p.shape[1] == 2:   # planar callers (e.g. ground-referenced EKF)
+    # planar callers (e.g. ground-referenced EKF): pad each array to 3-D
+    # based on its own width so a mismatched 2-col/3-col call fails loudly
+    # below instead of silently producing a (N,4) stack
+    if est_p.shape[1] == 2:
         est_p = np.column_stack([est_p, np.zeros(len(est_p))])
+    if gt_p.shape[1] == 2:
         gt_p = np.column_stack([gt_p, np.zeros(len(gt_p))])
+    assert est_p.shape[1] == gt_p.shape[1] == 3, \
+        f"score(): shape mismatch est {est_p.shape} vs gt {gt_p.shape}"
     a = est_p - est_p[0]
     b = gt_p - gt_p[0]
     # closed-form yaw Procrustes about z: maximize sum of planar dot products
@@ -296,6 +302,9 @@ def _main():
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    if args.platform == "tpu" and not on_tpu:
+        ap.error("--platform tpu requested but no accelerator device is "
+                 "present (jax.devices() is CPU-only)")
     if not on_tpu:
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp

@@ -22,6 +22,10 @@ def _yaw_of_quat(q):
     return float(np.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z)))
 
 
+def _wrap(a):
+    return float(np.arctan2(np.sin(a), np.cos(a)))
+
+
 class LoopCloser:
     """Consumes keyframes (pose + feature obs + image), maintains the place
     index and pose graph, and produces a loop-corrected trajectory."""
@@ -29,25 +33,41 @@ class LoopCloser:
     def __init__(self, cfg=None, focal: float = 460.0, cx: float = 320.0,
                  cy: float = 240.0, min_matches: int = 12,
                  min_sim: float = 0.60, exclude_last: int = 40,
-                 optimize_every: int = 10):
+                 optimize_every: int = 10, min_kf_dist: float = 0.25,
+                 min_kf_yaw: float = 0.2):
         # min_sim gates only the PROPOSAL; every candidate still has to
-        # survive mutual-best ZNCC patch matching (>= min_matches) and
-        # RANSAC PnP before an edge is added, so a permissive default is
-        # safe (0.85 found zero candidates over a 240 s rendered circuit
-        # whose true revisit similarity peaked lower; measured via
-        # stats['best_sim']).
+        # survive mutual-best ZNCC patch matching and RANSAC PnP before an
+        # edge is added, so a permissive default is safe (0.85 found zero
+        # candidates over a 240 s rendered circuit whose true revisit
+        # similarity peaked lower; measured via stats['best_sim']). In the
+        # permissive band (min_sim..0.85) the required match count scales
+        # up to 2x so weak place-recognition evidence needs strong
+        # geometric evidence (guards perceptually aliased scenes).
         from cerberus_tpu.config import EstimatorConfig
         self.cfg = cfg or EstimatorConfig()
         ric, tic = self.cfg.ric_tic()
         self.ric0, self.tic0 = ric[0], tic[0]
         self.f, self.cx, self.cy = focal, cx, cy
-        self.pg = PoseGraph()
+        # auto_detect off: this front-end supplies verified, MEASURED edges
+        # (ZNCC + RANSAC PnP); the posegraph's feature-overlap proposals
+        # would add unverified edges invisible to loops_found
+        self.pg = PoseGraph(auto_detect=False)
         self.index = desc.PlaceIndex()
         self.db: list[dict] = []
         self.min_matches = min_matches
         self.min_sim = min_sim
         self.exclude_last = exclude_last
         self.optimize_every = optimize_every
+        # keyframe subsampling: the estimator marks nearly every frame a
+        # keyframe (MARGIN_OLD at ~14 Hz); the pose graph only needs nodes
+        # every ~min_kf_dist meters (VINS-Fusion's pose_graph similarly
+        # skips keyframes). Keeps the node pool within capacity over
+        # multi-hundred-meter runs instead of silently truncating at 512.
+        self.min_kf_dist = min_kf_dist
+        self.min_kf_yaw = min_kf_yaw
+        self._last_p = None
+        self._last_yaw = None
+        self.kf_skipped = 0
         self.loops_found = 0
         self.loops_rejected = 0
         self.best_sim = -1.0   # max place-recognition score seen (diagnostic)
@@ -59,10 +79,19 @@ class LoopCloser:
         estimator; img: the keyframe's left image (None disables visual
         loop detection for this keyframe)."""
         yaw = _yaw_of_quat(q)
-        node = self.pg.add_keyframe(np.asarray(p, float), yaw, ids)
+        p = np.asarray(p, float)
+        if self._last_p is not None and \
+                np.linalg.norm(p - self._last_p) < self.min_kf_dist and \
+                abs(_wrap(yaw - self._last_yaw)) < self.min_kf_yaw:
+            self.kf_skipped += 1
+            return -2
+        node = self.pg.add_keyframe(p, yaw, ids)
         if node < 0:
+            self.kf_skipped += 1
             return node
-        rec = dict(t=t, node=node, ids=np.asarray(sorted(obs), dtype=np.int64))
+        self._last_p, self._last_yaw = p, yaw
+        rec = dict(t=t, node=node, p_odo=p.copy(),
+                   ids=np.asarray(sorted(obs), dtype=np.int64))
         fids = rec["ids"]
         uv = np.array([obs[i][0] for i in fids]) if len(fids) else \
             np.zeros((0, 2))
@@ -81,37 +110,53 @@ class LoopCloser:
             if cand is not None:
                 self.best_sim = max(self.best_sim, cand[1])
                 if cand[1] >= self.min_sim:
-                    self._try_close(cand[0], rec)
+                    self._try_close(cand[0], rec, sim=cand[1])
         else:
             self.index.add(np.zeros(desc.TINY_H * desc.TINY_W, np.float32))
             rec["descs"] = np.zeros((len(fids), desc.PATCH_DIM), np.float32)
             rec["ok"] = np.zeros(len(fids), bool)
         self.db.append(rec)
         self._since_opt += 1
-        if self._since_opt >= self.optimize_every and self.pg.edges:
+        # only optimize once a loop edge exists: the sequential chain alone
+        # is consistent by construction (optimizing it is a costly no-op,
+        # and any numeric wobble would DEGRADE the copied odometry)
+        if self._since_opt >= self.optimize_every and \
+                self.pg.n_loop_edges > 0:
             self.pg.optimize()
             self._since_opt = 0
         return node
 
     # ------------------------------------------------------------------
-    def _try_close(self, old_idx: int, rec: dict):
+    def _required_matches(self, sim: float) -> int:
+        """Match threshold vs place-recognition confidence: at sim>=0.85
+        the base min_matches; decaying to 2x at sim==min_sim (weak place
+        evidence needs stronger geometric evidence — guards aliased
+        scenes, ADVICE r2)."""
+        hi = 0.85
+        if sim >= hi:
+            return self.min_matches
+        frac = (hi - sim) / max(hi - self.min_sim, 1e-9)
+        return int(round(self.min_matches * (1.0 + min(frac, 1.0))))
+
+    def _try_close(self, old_idx: int, rec: dict, sim: float = 1.0):
         """Verify a place-recognition candidate: patch matching + RANSAC PnP
         of the NEW keyframe against the OLD keyframe's 3D points, then add a
         measured relative-pose edge."""
         old = self.db[old_idx]
+        need = self._required_matches(sim)
         i_new, i_old = desc.match_patches(rec["descs"], rec["ok"],
                                           old["descs"], old["ok"])
-        if len(i_new) < self.min_matches:
+        if len(i_new) < need:
             self.loops_rejected += 1
             return
         w_old = old["world"][i_old]
         good = ~np.isnan(w_old[:, 0])
-        if good.sum() < self.min_matches:
+        if good.sum() < need:
             self.loops_rejected += 1
             return
         pts3d = w_old[good]
         pts2d = rec["uv"][i_new][good]
-        res = pnp.ransac_pnp(pts3d, pts2d, min_inliers=self.min_matches)
+        res = pnp.ransac_pnp(pts3d, pts2d, min_inliers=need)
         if res is None:
             self.loops_rejected += 1
             return
@@ -136,6 +181,13 @@ class LoopCloser:
     def corrected(self) -> np.ndarray:
         """(n, 3) loop-corrected keyframe positions."""
         return self.pg.p[: self.pg.n].copy()
+
+    def odometric(self) -> np.ndarray:
+        """(n, 3) raw odometric keyframe positions at the same times as
+        corrected() — apples-to-apples comparison on the identical
+        subsampled trajectory."""
+        return np.array([r["p_odo"] for r in self.db]) if self.db else \
+            np.zeros((0, 3))
 
     def times(self) -> np.ndarray:
         return np.array([r["t"] for r in self.db])

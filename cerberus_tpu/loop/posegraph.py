@@ -96,22 +96,43 @@ class PoseGraph:
     directly, like loop_fusion's BoW does)."""
 
     def __init__(self, capacity_nodes=512, capacity_edges=2048,
-                 min_overlap=20, min_gap=30, dtype=jnp.float64):
+                 min_overlap=20, min_gap=30, dtype=jnp.float64,
+                 auto_detect=True, max_nodes=2048):
         self.Nc, self.Ec = capacity_nodes, capacity_edges
+        self.max_nodes = max_nodes
         self.dtype = dtype
         self.n = 0
         self.p = np.zeros((capacity_nodes, 3))
         self.yaw = np.zeros(capacity_nodes)
         self.feat_ids: list[set] = []
         self.edges = []   # (i, j, rel_p, rel_yaw, weight)
+        self.n_loop_edges = 0   # edges beyond the sequential chain
         self.min_overlap = min_overlap
         self.min_gap = min_gap
+        # feature-id-overlap loop proposal (uses the CURRENT relative
+        # estimate as the edge measurement). Disable when an external
+        # verified front-end (LoopCloser: place index + ZNCC + RANSAC PnP)
+        # supplies measured edges instead.
+        self.auto_detect = auto_detect
         self._opt = jax.jit(optimize_pose_graph, static_argnames=("iters",))
+
+    def _grow(self):
+        """Double the node pool (padded shapes are powers of two, so device
+        recompiles are bounded at log2(max/initial))."""
+        new = min(2 * self.Nc, self.max_nodes)
+        if new <= self.Nc:
+            return False
+        p = np.zeros((new, 3))
+        p[: self.Nc] = self.p
+        yaw = np.zeros(new)
+        yaw[: self.Nc] = self.yaw
+        self.p, self.yaw, self.Nc = p, yaw, new
+        return True
 
     def add_keyframe(self, p, yaw, feature_ids=None) -> int:
         """Append a keyframe; creates the sequential edge automatically.
-        Returns node id (or -1 when full)."""
-        if self.n >= self.Nc:
+        Returns node id (or -1 when full at max capacity)."""
+        if self.n >= self.Nc and not self._grow():
             return -1
         k = self.n
         self.p[k] = p
@@ -123,10 +144,11 @@ class PoseGraph:
             rel_yaw = self.yaw[k] - self.yaw[k - 1]
             self.edges.append((k - 1, k, rel_p, rel_yaw, 10.0))
         self.n += 1
-        # loop detection by feature overlap
-        loop = self.detect_loop(k)
-        if loop is not None:
-            self.add_loop_edge(loop, k)
+        # loop detection by feature overlap (opt-in, see __init__)
+        if self.auto_detect:
+            loop = self.detect_loop(k)
+            if loop is not None:
+                self.add_loop_edge(loop, k)
         return k
 
     def detect_loop(self, k: int):
@@ -151,13 +173,22 @@ class PoseGraph:
             rel_yaw = self.yaw[j] - self.yaw[i]
         self.edges.append((int(i), int(j), np.asarray(rel_p), float(rel_yaw),
                            weight))
+        self.n_loop_edges += 1
 
     def optimize(self, iters: int = 8):
-        """Run the device GN over the padded pools; updates node states."""
-        if self.n < 2 or not self.edges:
+        """Run the device GN over the padded pools; updates node states.
+
+        A no-op without loop edges: the sequential chain is consistent by
+        construction (its residuals are zero at the current estimate), so
+        optimizing it alone would only round-trip the state through the
+        solver."""
+        if self.n < 2 or not self.edges or self.n_loop_edges == 0:
             return
         N = self.Nc
-        E = self.Ec
+        # pad the edge pool to the next power of two >= the live edge count
+        # (bounded recompiles; the old fixed Ec silently DROPPED edges
+        # beyond capacity_edges)
+        E = max(self.Ec, 1 << (len(self.edges) - 1).bit_length())
         e_i = np.zeros(E, np.int32)
         e_j = np.zeros(E, np.int32)
         rel_p = np.zeros((E, 3))

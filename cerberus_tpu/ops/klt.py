@@ -125,9 +125,16 @@ def _sample_patches(imgs: list[jax.Array], cx, cy, half: int):
     Rx = _hat(cx, half, W)                                       # (N, P, W)
     # contract width first: (N, P, W) x (H, W) -> (N, P, H)  [MXU]
     out = []
+    # HIGHEST precision: the hat rows carry sub-pixel fractions and the
+    # images are 0-255; default (bf16) matmul precision on TPU gives ~1
+    # intensity-unit error per tap, which perturbs min-eig gating and LK
+    # convergence. f32 MXU passes keep the contraction bit-comparable to
+    # the gather-based bilinear reference.
     for img in imgs:
-        t1 = jnp.einsum("fxw,hw->fxh", Rx, img)
-        out.append(jnp.einsum("fyh,fxh->fyx", Ry, t1))           # (N, P, P)
+        t1 = jnp.einsum("fxw,hw->fxh", Rx, img,
+                        precision=jax.lax.Precision.HIGHEST)
+        out.append(jnp.einsum("fyh,fxh->fyx", Ry, t1,
+                              precision=jax.lax.Precision.HIGHEST))
     return out
 
 

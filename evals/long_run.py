@@ -163,15 +163,22 @@ def main():
         # ground truth at keyframe times
         gt = np.column_stack([np.interp(kf_t, sim["t"], sim["p"][:, i])
                               for i in range(3)])
-        odo = np.array([r for r in closer.pg.p[:closer.pg.n]])
         m_loop = score(kf_p, gt)
+        # odometric drift on the IDENTICAL subsampled keyframe set — the
+        # only fair baseline for corrected_drift (r2 compared corrected
+        # keyframes against the full-rate odometric path, which differ in
+        # coverage when the node pool saturates)
+        m_odo = score(closer.odometric(), gt)
         result["loop"] = dict(
             loops_found=closer.loops_found,
             loops_rejected=closer.loops_rejected,
             best_sim=round(closer.best_sim, 3),
             keyframes=closer.pg.n,
+            kf_skipped=closer.kf_skipped,
             corrected_drift_pct=round(m_loop["drift_pct"], 4),
             corrected_ate_m=round(m_loop["ate_rmse"], 4),
+            odometric_kf_drift_pct=round(m_odo["drift_pct"], 4),
+            odometric_kf_ate_m=round(m_odo["ate_rmse"], 4),
         )
     print(json.dumps(result))
     if args.out:

@@ -96,7 +96,7 @@ def test_loop_closer_corrects_drift(rng):
 
     drift = np.array([0.35, -0.25, 0.0])
     closer = LoopCloser(cfg, exclude_last=3, min_sim=0.7, min_matches=10,
-                        optimize_every=1000)
+                        optimize_every=1000, min_kf_dist=0.0)
     qid = np.array([1.0, 0, 0, 0])
     for k in range(9):
         obs, img = _kf_inputs(r, k, cfg)
