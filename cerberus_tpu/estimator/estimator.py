@@ -33,7 +33,9 @@ import numpy as np
 from cerberus_tpu import config as C
 from cerberus_tpu.config import EstimatorConfig
 from cerberus_tpu.estimator.feature_manager import FeatureManager
-from cerberus_tpu.estimator.packing import default_free_mask, pack_window_data
+from cerberus_tpu.estimator.packing import (build_window_data, coerce_preints,
+                                            default_free_mask, pad_features,
+                                            pack_window_data, zero_prior)
 from cerberus_tpu.ops import factors as fac
 from cerberus_tpu.ops import marginalize as marg
 from cerberus_tpu.ops.preintegration import PreintParams, il_preintegrate
@@ -78,6 +80,57 @@ def _shared_kernels(max_iters: int) -> dict:
         marg_new=jax.jit(marg.marginalize_second_new),
         reproj=jax.jit(fac.feature_reproj_errors),
     )
+
+
+@_functools.lru_cache(maxsize=None)
+def _streaming_kernel(max_iters: int, mode: str, use_leg_odom: bool,
+                      marg_td_info: bool):
+    """ONE fused device program per NON_LINEAR frame: pack (preint stacking
+    + WindowData assembly) -> LM solve -> outlier scoring -> in-device
+    3 px gating -> marginalization -> prior frame-shift.
+
+    The r2 streaming path issued >=4 dispatches per frame (stack_preints,
+    solve_scored, marginalize, plus a blocking device_get in
+    _propagate_frame); through a relayed TPU each extra dispatch costs a
+    ~25 ms round-trip, which alone broke the 66 ms camera budget
+    (reference real-time knobs: max_solver_time 0.1 s,
+    estimator.cpp:1226-1233).
+
+    mode: 'old' (MARGIN_OLD), 'new' (MARGIN_SECOND_NEW with a live prior),
+    'none' (no marginalization: MARGIN_SECOND_NEW without a prior)."""
+    opts = SolveOptions(max_iters=max_iters)
+
+    def step(st0, pres, ivalid, feats_pad, prior, free_mask, gravity, calib):
+        dtype = st0.p.dtype
+        data = build_window_data(
+            pres, ivalid, feats_pad, prior, free_mask, gravity, calib,
+            use_leg_odom=use_leg_odom, cov_jitter=1e-14, dtype=dtype)
+        st, info = solve_window(st0, data, opts)
+        errs = fac.feature_reproj_errors(st, data)
+        # per-feature average reprojection gate — the reference's own rule
+        # (ave_err * FOCAL_LENGTH > 3, estimator.cpp:1794-1796) applied
+        # in-device so marginalization sees the gated feature set without
+        # a host round-trip
+        gate = data.f_valid & (errs * C.FOCAL_LENGTH > 3.0)
+        data2 = data._replace(f_valid=data.f_valid & ~gate)
+        if mode == "none":
+            return st, info, errs
+        if mode == "old":
+            pj, pr, valid = marg.marginalize_old(st, data2)
+            lin = _shift_state(st)
+        else:
+            pj, pr, valid = marg.marginalize_second_new(st, data2)
+            lin = _shift_state_second_new(st)
+        if not marg_td_info:
+            pj = pj.at[:, fac.TD_OFF].set(0.0)
+        # fold validity in-device (zeroed prior == skipped prior, reference
+        # estimator.cpp:1107) — bool(valid) would block the host on the
+        # whole program
+        pj = jnp.where(valid, pj, 0.0)
+        pr = jnp.where(valid, pr, 0.0)
+        return st, info, errs, (pj, pr, lin, valid)
+
+    return jax.jit(step)
 
 
 @dataclass
@@ -258,7 +311,20 @@ class Estimator:
         # (reference: failureDetection -> clearState, estimator.cpp:823-831)
         reboots = getattr(self, "stats", {}).get("reboots", 0)
         self.stats = {"solves": 0, "solve_time": 0.0, "keyframes": 0,
-                      "reboots": reboots}
+                      "reboots": reboots, "dispatches": 0}
+
+        # static per-config streaming-kernel arguments (host numpy)
+        cw = np.zeros(13)
+        if cfg.ex_prior_sigma_t > 0:
+            cw[[0, 1, 2, 6, 7, 8]] = 1.0 / cfg.ex_prior_sigma_t
+        if cfg.ex_prior_sigma_r > 0:
+            cw[[3, 4, 5, 9, 10, 11]] = 1.0 / cfg.ex_prior_sigma_r
+        if cfg.td_prior_sigma > 0:
+            cw[12] = 1.0 / cfg.td_prior_sigma
+        ric_ref, tic_ref = cfg.ric_tic(n=2)
+        qic_ref = np.stack([_rot_to_quat_np(ric_ref[i]) for i in range(2)])
+        self._calib = (tic_ref, qic_ref, cfg.td, cw)
+        self._gravity = np.array([0.0, 0.0, cfg.g_norm])
 
     # ------------------------------------------------------------------
     def input_imu_leg(self, t, acc, gyr, phi, dphi, contact):
@@ -373,24 +439,48 @@ class Estimator:
                         p_w[C.WINDOW_SIZE] = res[0]
             self.fm.triangulate(p_w, R_w, tic_, ric)
             t0 = time.time()
-            # pack ONCE per frame; solve / outlier scoring / marginalization
-            # all reuse the same device-resident WindowData (only the f_valid
-            # mask is updated between stages)
-            data, feats_d, slots, depths = self._pack()
+            # ONE fused device program per frame: pack + solve + outlier
+            # scoring + 3 px gating + marginalization + prior shift
+            # (_streaming_kernel). The prior stays device-resident; the only
+            # blocking fetch is the (state, errors, info) device_get below.
+            feats_d, slots = self.fm.export()
+            feats_pad = pad_features(feats_d, self.F)
+            depths = self.fm.depth_vector(slots)
             st0 = self._window_state(depths)
+            mode = ("old" if margin_flag == MARGIN_OLD
+                    else ("new" if self.prior is not None else "none"))
+            kernel = _streaming_kernel(self.cfg.max_num_iterations, mode,
+                                       self.cfg.use_leg_odom,
+                                       self.cfg.marg_td_info)
+            pres, ivalid = coerce_preints(
+                self.preints if self.cfg.use_imu else [None] * 10,
+                self.dtype)
+            prior_t = self.prior if self.prior is not None \
+                else zero_prior(self.F, self.dtype)
+            free_mask = self._free_mask()
             self.stats["pack_time"] = self.stats.get("pack_time", 0.0) \
                 + (time.time() - t0)
             if getattr(self, "debug", False):
-                self.last_debug = {"entry": _cost_breakdown(st0, data, self.F)}
+                data_dbg, *_ = self._pack()
+                self.last_debug = {"entry": _cost_breakdown(st0, data_dbg,
+                                                            self.F)}
                 if self.prior is not None:
                     dx = np.asarray(fac.local_diff(st0, self.prior[2]))
                     j = int(np.argmax(np.abs(dx)))
                     print(f"[prior-dx] |dx|={np.linalg.norm(dx):.2e} "
                           f"argmax dim {j} = {dx[j]:.2e}")
             t1 = time.time()
-            st, info, errs_d = self._solve_scored(st0, data)
-            # ONE batched D2H (tunnel-friendly): state + outlier scores
-            st_np, errs = jax.device_get((st, errs_d))
+            out = kernel(st0, pres, ivalid, feats_pad, prior_t, free_mask,
+                         self._gravity, self._calib)
+            self.stats["dispatches"] = self.stats.get("dispatches", 0) + 1
+            if mode == "none":
+                st, info, errs_d = out
+                prior_out = None
+            else:
+                st, info, errs_d, prior_out = out
+            # ONE batched D2H (tunnel-friendly): state + outlier scores +
+            # solve info; the new prior never leaves the device
+            st_np, errs, info = jax.device_get((st, errs_d, info))
             self.stats["solve_only_time"] = \
                 self.stats.get("solve_only_time", 0.0) + (time.time() - t1)
             self._adopt(st_np, slots, feats_d)
@@ -402,25 +492,19 @@ class Estimator:
                     "solve", t=float(t), cost0=float(info.cost0),
                     cost=float(info.cost), accepted=int(info.accepted),
                     solve_ms=round(1000 * (time.time() - t0), 2),
+                    block_ms=round(1000 * (time.time() - t1), 2),
+                    dispatches=self.stats.get("dispatches", 0),
                     features=int(np.sum(feats_d["valid"])),
                     keyframe=bool(is_kf), td=float(self.td))
 
-            # outlier rejection on the post-solve state (scored in-solve)
-            if getattr(self, "debug", False):
-                st_dev = self._window_state(self.fm.depth_vector(slots))
-                self.last_debug["exit"] = _cost_breakdown(st_dev, data, self.F)
-            # per-feature AVERAGE reprojection error vs a 3 px gate — the
-            # reference's own rule (ave_err * FOCAL_LENGTH > 3,
-            # estimator.cpp:1794-1796), not a per-observation check
+            # host-side outlier bookkeeping — the SAME 3 px average-error
+            # rule the kernel applied in-device before marginalizing
+            # (reference: ave_err * FOCAL_LENGTH > 3, estimator.cpp:1794-96)
             errs = errs[: len(slots)]
             bad_local = [n for n in range(len(slots))
                          if feats_d["valid"][n]
                          and errs[n] * C.FOCAL_LENGTH > 3.0]
             self.fm.remove_outliers([slots[n] for n in bad_local])
-            if bad_local:
-                newmask = np.asarray(data.f_valid).copy()
-                newmask[bad_local] = False
-                data = data._replace(f_valid=jnp.asarray(newmask))
 
             self._predict_next_frame()
             if self.failure_detection():
@@ -431,7 +515,9 @@ class Estimator:
                                      count=self.stats["reboots"])
                 self.clear_state()
                 return
-            self._post_solve(margin_flag, data=data, slots=slots)
+            if prior_out is not None:
+                self.prior = prior_out
+            self._emit_keyframe_and_slide(margin_flag)
             self.fm.remove_failures()
         self._update_latest(t)
 
@@ -488,6 +574,7 @@ class Estimator:
             arr[key][n:] = arr[key][n - 1]
         mask = np.zeros(S, bool)
         mask[1:n] = True
+        self.stats["dispatches"] = self.stats.get("dispatches", 0) + 1
         return self._preint(
             jnp.asarray(dt), jnp.asarray(arr["acc"]), jnp.asarray(arr["gyr"]),
             jnp.asarray(arr["phi"]), jnp.asarray(arr["dphi"]),
@@ -495,19 +582,40 @@ class Estimator:
             jnp.asarray(ba), jnp.asarray(bg), jnp.asarray(rho))
 
     def _propagate_frame(self, k: int):
-        """Initialize frame k+1 by midpoint dead-reckoning through interval k
-        (reference: processIMULeg forward propagation, estimator.cpp:639-646)."""
-        pre = self.preints[k]
-        if pre is None:
+        """Initialize frame k+1 by midpoint dead-reckoning through interval
+        k's RAW samples, on the host (reference: processIMULeg forward
+        propagation, estimator.cpp:639-646 — the reference also integrates
+        raw samples rather than reading back the preintegration deltas).
+
+        Host numpy on ~34 samples is microseconds; the previous version
+        device_get the preint deltas, a BLOCKING round-trip (~25 ms through
+        a relayed TPU) serializing every frame behind the preintegration
+        dispatch. The result only seeds the LM solve, so bit-agreement with
+        the device preintegration is not required."""
+        buf = self.buffers[k]
+        if buf is None or len(buf) < 2:
             return
         i, j = k, k + 1
         g = np.array([0, 0, self.cfg.g_norm])
-        Ri = _quat_to_rot_np(self.q[i])
-        dq, dp, dv, T = jax.device_get((pre.dq, pre.dp, pre.dv, pre.sum_dt))
-        T = float(T)
-        self.q[j] = _quat_mul_np(self.q[i], dq)
-        self.p[j] = self.p[i] + self.v[i] * T - 0.5 * g * T * T + Ri @ dp
-        self.v[j] = self.v[i] + Ri @ dv - g * T
+        ba, bg = self.ba[i], self.bg[i]
+        q = self.q[i].copy()
+        p = self.p[i].copy()
+        v = self.v[i].copy()
+        acc_p, gyr_p = buf.acc[0], buf.gyr[0]
+        for n in range(1, len(buf)):
+            dt = buf.t[n] - buf.t[n - 1]
+            acc_c, gyr_c = buf.acc[n], buf.gyr[n]
+            un_acc_0 = _rot_np(q, acc_p - ba) - g
+            un_gyr = 0.5 * (gyr_p + gyr_c) - bg
+            q = _quat_mul_np(q, _delta_q_np(un_gyr * dt))
+            un_acc_1 = _rot_np(q, acc_c - ba) - g
+            un_acc = 0.5 * (un_acc_0 + un_acc_1)
+            p = p + dt * v + 0.5 * dt * dt * un_acc
+            v = v + dt * un_acc
+            acc_p, gyr_p = acc_c, gyr_c
+        self.q[j] = q / np.linalg.norm(q)
+        self.p[j] = p
+        self.v[j] = v
         self.ba[j] = self.ba[i]
         self.bg[j] = self.bg[i]
         self.rho[j] = self.rho[i]
@@ -712,7 +820,10 @@ class Estimator:
 
     # ------------------------------------------------------------------
     def _post_solve(self, margin_flag, data=None, slots=None):
-        """Marginalize + slide (reference: estimator.cpp:1243-1678)."""
+        """Marginalize + slide, eager path (reference: estimator.cpp:
+        1243-1678). Used by the INITIAL phase; the NON_LINEAR streaming path
+        fuses the marginalization into _streaming_kernel and only calls
+        _emit_keyframe_and_slide."""
         if data is None:
             data, feats, slots, depths = self._pack()
         else:
@@ -723,7 +834,6 @@ class Estimator:
             lin = _shift_state(st)
             if getattr(self, "debug", False):
                 born = float(0.5 * jnp.sum(pr ** 2))
-                sub_cost = None
                 if hasattr(self, "last_debug"):
                     self.last_debug["born_prior"] = born
                 print(f"[marg_old] born prior cost {born:.1f} valid={bool(valid)}")
@@ -741,6 +851,24 @@ class Estimator:
             pj = jnp.where(valid, pj, 0.0)
             pr = jnp.where(valid, pr, 0.0)
             self.prior = (pj, pr, lin, valid)
+        elif self.prior is not None:
+            pj, pr, valid = self._marg_new(st, data)
+            lin = _shift_state_second_new(st)
+            if getattr(self, "debug", False):
+                born = float(0.5 * jnp.sum(pr ** 2))
+                print(f"[marg_new] born prior cost {born:.1f} "
+                      f"valid={bool(valid)}")
+            if not self.cfg.marg_td_info:
+                pj = pj.at[:, fac.TD_OFF].set(0.0)
+            pj = jnp.where(valid, pj, 0.0)   # see MARGIN_OLD branch
+            pr = jnp.where(valid, pr, 0.0)
+            self.prior = (pj, pr, lin, valid)
+        self._emit_keyframe_and_slide(margin_flag)
+
+    def _emit_keyframe_and_slide(self, margin_flag):
+        """Host half of the post-solve: keyframe export for the loop
+        back-end, then the window slide."""
+        if margin_flag == MARGIN_OLD:
             if self.keyframe_callback is not None:
                 # emit the frame leaving the window: final refined pose, its
                 # observed feature ids, and per-feature (normalized obs,
@@ -763,18 +891,6 @@ class Estimator:
                                        self.q[0].copy(), ids, obs)
             self._slide_old()
         else:
-            if self.prior is not None:
-                pj, pr, valid = self._marg_new(st, data)
-                lin = _shift_state_second_new(st)
-                if getattr(self, "debug", False):
-                    born = float(0.5 * jnp.sum(pr ** 2))
-                    print(f"[marg_new] born prior cost {born:.1f} "
-                          f"valid={bool(valid)}")
-                if not self.cfg.marg_td_info:
-                    pj = pj.at[:, fac.TD_OFF].set(0.0)
-                pj = jnp.where(valid, pj, 0.0)   # see MARGIN_OLD branch
-                pr = jnp.where(valid, pr, 0.0)
-                self.prior = (pj, pr, lin, valid)
             self._slide_new()
 
     def _slide_old(self):

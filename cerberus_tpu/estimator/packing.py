@@ -88,47 +88,9 @@ def default_free_mask(optimize_leg_bias=True, optimize_extrinsic=False,
     return m
 
 
-def pack_window_data(
-    preints: list[ILPreint],
-    features: dict,
-    prior=None,
-    free_mask: np.ndarray | None = None,
-    gravity=(0.0, 0.0, 9.805),
-    F: int = C.MAX_FEATURES,
-    dtype=jnp.float64,
-    cov_jitter: float = 1e-14,
-    calib_prior=None,
-    use_leg_odom: bool = True,
-) -> fac.WindowData:
-    """Assemble a WindowData.
-
-    Args:
-      preints: list of 10 ILPreint (or None for invalid intervals).
-      features: dict with numpy arrays
-        start (Fa,), pts (Fa,11,3), pts_r (Fa,11,3), vel (Fa,11,2),
-        vel_r (Fa,11,2), td (Fa,11), obs (Fa,11) bool, stereo (Fa,11) bool,
-        valid (Fa,) bool  — Fa <= F; padded to F here.
-      prior: None or (prior_J (222,222), prior_r (222,), lin_state WindowState).
-      calib_prior: None (disabled) or (tic_ref (2,3), qic_ref (2,4), td_ref,
-        w (13,)) — standing weak prior on extrinsics/td (fac.WindowData.calib_*).
-    """
-    f = lambda x: jnp.asarray(x, dtype)
-
-    zero = _zero_pre(dtype)
-
-    def _co(x):  # coerce float leaves to the pack dtype, keep bools intact
-        x = jnp.asarray(x)
-        return x.astype(dtype) if (jnp.issubdtype(x.dtype, jnp.floating)
-                                   and x.dtype != dtype) else x
-
-    pres = tuple(zero if p is None else jax.tree.map(_co, p)
-                 for p in preints)
-    valid_np = np.array([p is not None for p in preints])
-    (pre_dp, pre_dq, pre_dv, pre_deps, pre_J, pre_L, pre_dt, pre_ba,
-     pre_bg, pre_rho, valid) = _stack_preints(
-        pres, jnp.asarray(valid_np), use_leg_odom=use_leg_odom,
-        cov_jitter=cov_jitter)
-
+def pad_features(features: dict, F: int) -> dict:
+    """Host-side: pad the feature-manager export to the fixed capacity F.
+    Returns a dict of numpy arrays (a valid jit argument pytree)."""
     Fa = features["start"].shape[0]
     assert Fa <= F, f"too many features {Fa} > {F}"
 
@@ -138,28 +100,61 @@ def pack_window_data(
         out[:Fa] = x
         return out
 
-    start = jnp.asarray(padf(features["start"]).astype(np.int32))
-    fobs = jnp.asarray(padf(features["obs"]).astype(bool))
-    fval = jnp.asarray(padf(features["valid"]).astype(bool))
+    return dict(
+        start=padf(features["start"]).astype(np.int32),
+        pts=padf(features["pts"]), pts_r=padf(features["pts_r"]),
+        vel=padf(features["vel"]), vel_r=padf(features["vel_r"]),
+        td=padf(features["td"]),
+        obs=padf(features["obs"]).astype(bool),
+        stereo=padf(features["stereo"]).astype(bool),
+        valid=padf(features["valid"]).astype(bool),
+    )
 
-    if prior is None:
-        prior_J = jnp.zeros((fac.D_DENSE, fac.D_DENSE), dtype)
-        prior_r = jnp.zeros((fac.D_DENSE,), dtype)
-        prior_valid = jnp.asarray(False)
-        prior_lin = fac.WindowState.zero(F, dtype)
-    else:
-        # (J, r, lin) or (J, r, lin, valid): the 4th element is a DEVICE
-        # bool carrying marginalization validity without a host sync
-        # (estimator._post_solve keeps the whole prior device-resident)
-        prior_J, prior_r, prior_lin = prior[:3]
-        prior_J = f(prior_J)
-        prior_r = f(prior_r)
-        prior_valid = (jnp.asarray(prior[3], bool) if len(prior) > 3
-                       else jnp.asarray(True))
-        prior_lin = prior_lin._replace(depth=jnp.zeros((F,), dtype))
 
-    if free_mask is None:
-        free_mask = default_free_mask()
+def zero_prior(F: int, dtype):
+    """Device-zero prior tuple (J, r, lin, valid=False) — the 'no prior yet'
+    argument of build_window_data / the fused streaming step."""
+    return (jnp.zeros((fac.D_DENSE, fac.D_DENSE), dtype),
+            jnp.zeros((fac.D_DENSE,), dtype),
+            fac.WindowState.zero(F, dtype),
+            jnp.asarray(False))
+
+
+def build_window_data(preints, interval_valid, feats_pad: dict, prior,
+                      free_mask, gravity, calib_prior, *,
+                      use_leg_odom: bool, cov_jitter: float,
+                      dtype) -> fac.WindowData:
+    """TRACEABLE WindowData assembly: everything here is pure jnp so the
+    whole pack can live inside the fused per-frame streaming program
+    (estimator._streaming_step) — the eager version cost one extra dispatch
+    plus a host round-trip per frame through a relayed TPU.
+
+    Args:
+      preints: tuple of 10 ILPreint pytrees (zero-placeholder for invalid).
+      interval_valid: (10,) bool.
+      feats_pad: pad_features() output.
+      prior: (J, r, lin_state, valid) — use zero_prior() when absent.
+      calib_prior: (tic_ref (2,3), qic_ref (2,4), td_ref, w (13,)) or None.
+    """
+    f = lambda x: jnp.asarray(x, dtype)
+
+    def _co(x):  # coerce float leaves to the pack dtype, keep bools intact
+        x = jnp.asarray(x)
+        return x.astype(dtype) if (jnp.issubdtype(x.dtype, jnp.floating)
+                                   and x.dtype != dtype) else x
+
+    pres = tuple(jax.tree.map(_co, p) for p in preints)
+    (pre_dp, pre_dq, pre_dv, pre_deps, pre_J, pre_L, pre_dt, pre_ba,
+     pre_bg, pre_rho, valid) = _stack_preints(
+        pres, jnp.asarray(interval_valid), use_leg_odom=use_leg_odom,
+        cov_jitter=cov_jitter)
+
+    prior_J, prior_r, prior_lin, prior_valid = prior
+    prior_J = f(prior_J)
+    prior_r = f(prior_r)
+    prior_valid = jnp.asarray(prior_valid, bool)
+    prior_lin = jax.tree.map(_co, prior_lin)
+    prior_lin = prior_lin._replace(depth=jnp.zeros((fac_F(feats_pad),), dtype))
 
     if calib_prior is None:
         calib_w = jnp.zeros((13,), dtype)
@@ -177,14 +172,69 @@ def pack_window_data(
         pre_dp=pre_dp, pre_dq=pre_dq, pre_dv=pre_dv, pre_deps=pre_deps,
         pre_J=pre_J, pre_L=pre_L, pre_dt=pre_dt, pre_ba=pre_ba,
         pre_bg=pre_bg, pre_rho=pre_rho, interval_valid=valid,
-        f_start=start, f_pts=f(padf(features["pts"])),
-        f_pts_r=f(padf(features["pts_r"])), f_vel=f(padf(features["vel"])),
-        f_vel_r=f(padf(features["vel_r"])), f_td=f(padf(features["td"])),
-        f_obs=fobs, f_stereo=jnp.asarray(padf(features["stereo"]).astype(bool)),
-        f_valid=fval,
+        f_start=jnp.asarray(feats_pad["start"], jnp.int32),
+        f_pts=f(feats_pad["pts"]),
+        f_pts_r=f(feats_pad["pts_r"]), f_vel=f(feats_pad["vel"]),
+        f_vel_r=f(feats_pad["vel_r"]), f_td=f(feats_pad["td"]),
+        f_obs=jnp.asarray(feats_pad["obs"], bool),
+        f_stereo=jnp.asarray(feats_pad["stereo"], bool),
+        f_valid=jnp.asarray(feats_pad["valid"], bool),
         prior_J=prior_J, prior_r=prior_r, prior_valid=prior_valid,
         prior_lin=prior_lin,
         free_mask=jnp.asarray(free_mask), gravity=f(gravity),
         calib_w=calib_w, calib_tic=calib_tic, calib_qic=calib_qic,
         calib_td=calib_td,
     )
+
+
+def fac_F(feats_pad: dict) -> int:
+    return feats_pad["start"].shape[0]
+
+
+def coerce_preints(preints, dtype):
+    """(tuple of 10 ILPreint with zero placeholders, (10,) valid numpy) —
+    the host-side half of the old pack_window_data preint handling."""
+    zero = _zero_pre(dtype)
+    pres = tuple(zero if p is None else p for p in preints)
+    valid_np = np.array([p is not None for p in preints])
+    return pres, valid_np
+
+
+def pack_window_data(
+    preints: list[ILPreint],
+    features: dict,
+    prior=None,
+    free_mask: np.ndarray | None = None,
+    gravity=(0.0, 0.0, 9.805),
+    F: int = C.MAX_FEATURES,
+    dtype=jnp.float64,
+    cov_jitter: float = 1e-14,
+    calib_prior=None,
+    use_leg_odom: bool = True,
+) -> fac.WindowData:
+    """Assemble a WindowData eagerly (host padding + device assembly).
+
+    Args:
+      preints: list of 10 ILPreint (or None for invalid intervals).
+      features: dict with numpy arrays
+        start (Fa,), pts (Fa,11,3), pts_r (Fa,11,3), vel (Fa,11,2),
+        vel_r (Fa,11,2), td (Fa,11), obs (Fa,11) bool, stereo (Fa,11) bool,
+        valid (Fa,) bool  — Fa <= F; padded to F here.
+      prior: None or (prior_J (222,222), prior_r (222,), lin_state
+        [, valid]) — the optional 4th element is a DEVICE bool carrying
+        marginalization validity without a host sync.
+      calib_prior: None (disabled) or (tic_ref (2,3), qic_ref (2,4), td_ref,
+        w (13,)) — standing weak prior on extrinsics/td (fac.WindowData.calib_*).
+    """
+    pres, valid_np = coerce_preints(preints, dtype)
+    feats_pad = pad_features(features, F)
+    if prior is None:
+        prior_t = zero_prior(F, dtype)
+    else:
+        prior_t = (prior[0], prior[1], prior[2],
+                   prior[3] if len(prior) > 3 else jnp.asarray(True))
+    if free_mask is None:
+        free_mask = default_free_mask()
+    return build_window_data(
+        pres, valid_np, feats_pad, prior_t, free_mask, gravity, calib_prior,
+        use_leg_odom=use_leg_odom, cov_jitter=cov_jitter, dtype=dtype)
