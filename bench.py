@@ -19,6 +19,28 @@ import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+# Peak MXU throughput per chip for MFU accounting. The window solve runs
+# under default_matmul_precision('highest') (see ops/solver.py), which on
+# TPU emulates f32 matmuls with ~6 bf16 MXU passes — so "achievable peak"
+# for this workload is bf16_peak / 6. Values: TPU v5e 197 TFLOPS bf16
+# (public spec); CPU fallback uses a nominal 100 GFLOP/s just so the field
+# is populated.
+_PEAK_FLOPS = {"tpu": 197e12 / 6, "cpu": 100e9}
+
+
+def _flops_of(compiled) -> float:
+    """XLA's own flop count for a compiled executable (0.0 if the backend
+    does not report cost analysis)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
 
 def main():
     import jax
@@ -89,16 +111,36 @@ def main():
         lat.append(time.time() - t0)
     lat_ms = float(np.median(lat)) * 1000
 
+    # ---- speed-of-light / MFU accounting (BASELINE.json north star) ----
+    # flops model: XLA's own cost analysis of the compiled batched solve.
+    platform = jax.devices()[0].platform
+    peak = _PEAK_FLOPS.get("cpu" if platform == "cpu" else "tpu", 1e12)
+    total_flops = _flops_of(solve.lower(states, datas).compile())
+    flops_per_window = total_flops / B if total_flops else 0.0
+    achieved = flops_per_window * wps            # flops/s at measured rate
+    mfu_pct = 100.0 * achieved / peak if total_flops else 0.0
+    # latency- vs compute-bound: per-window time at B=1 vs amortized at B.
+    # If batching B windows costs barely more wall time than one, the
+    # single-window path is dominated by dispatch/roundtrip latency and
+    # kernel-launch serialization, not by MXU math.
+    amortized_ms = dt * 1000 / B
+    bound = "latency" if lat_ms > 5 * amortized_ms else "compute"
+
     result = {
         "metric": "windows_solved_per_s",
         "value": round(wps, 3),
         "unit": "windows/s",
         "vs_baseline": round(wps / 10.0, 3),
         "batch": B,
-        "platform": jax.devices()[0].platform,
+        "platform": platform,
         "dtype": str(dtype.__name__),
         "batch_latency_ms": round(dt * 1000, 2),
         "single_window_latency_ms": round(lat_ms, 3),
+        "flops_per_window": round(flops_per_window),
+        "achieved_gflops": round(achieved / 1e9, 2),
+        "peak_gflops_f32_highest": round(peak / 1e9),
+        "mfu_pct": round(mfu_pct, 3),
+        "bound": bound,
     }
     print(json.dumps(result))
 
