@@ -173,21 +173,212 @@ class ImageLoader:
         return im0, im1
 
 
-def convert_rosbag(bag_path: str, out_dir: str, topics: dict | None = None):
-    """Offline bag -> dataset-dir converter.
+# reference A1 hardware topic set
+# (config/a1_config/hardware_a1_vilo_config.yaml:8-23, main.cpp:454-470)
+A1_TOPICS = dict(
+    imu="/hardware_a1/imu",
+    leg="/hardware_a1/joint_foot",
+    image0="/camera_forward/infra1/image_rect_raw",
+    image1="/camera_forward/infra2/image_rect_raw",
+    mocap="/mocap_node/Robot_1/pose",
+)
 
-    Requires the pure-python `rosbags` package (not vendored in this image);
-    in a ROS environment, export the topics to the schema above instead.
-    Topic map defaults to the reference's A1 hardware topics
-    (reference: config/a1_config/hardware_a1_vilo_config.yaml:10-17,
-    main.cpp:454-470)."""
+GO1_TOPICS = dict(A1_TOPICS, imu="/hardware_go1/imu",
+                  leg="/hardware_go1/joint_foot")
+
+
+def convert_rosbag(bag_path: str, out_dir: str, topics: dict | None = None,
+                   robot: str = "a1", contact_kind: str | None = None,
+                   sync_tol: float = 0.003, write_images: bool = True):
+    """Offline ROS1 bag -> schema-v1 dataset converter (pure Python, no ROS;
+    container+message codecs in data/rosbag.py).
+
+    Mirrors the reference's live ingestion: IMU and joint messages are
+    ApproximateTime-paired (main.cpp:462-470 — the reference notes they
+    "actually [have] the same time stamp"); the JointState layout is
+    position[0:12]/velocity[0:12] joints, velocity[12:16] planned contact
+    flags, effort[12:16] foot-force readings (main.cpp:262-278). The stored
+    contact[4] column follows contact_kind: "flag" keeps the planned
+    contacts (A1, contact_sensor_type 1), "force" keeps foot forces (Go1,
+    contact_sensor_type 2, go1 yaml:29).
+
+    topics: override any of the A1_TOPICS keys. Returns the loaded dataset.
+    """
+    from cerberus_tpu.data.rosbag import read_messages
+
+    tm = dict(GO1_TOPICS if robot == "go1" else A1_TOPICS)
+    tm.update(topics or {})
+    if contact_kind is None:
+        contact_kind = "force" if robot == "go1" else "flag"
+    topic_kinds = {tm["imu"]: "sensor_msgs/Imu",
+                   tm["leg"]: "sensor_msgs/JointState",
+                   tm["mocap"]: "geometry_msgs/PoseStamped"}
+    if write_images:
+        topic_kinds[tm["image0"]] = "sensor_msgs/Image"
+        topic_kinds[tm["image1"]] = "sensor_msgs/Image"
+
+    imu_rows, leg_rows, mocap_rows = [], [], []
+    cam0, cam1 = [], []
+    os.makedirs(out_dir, exist_ok=True)
+    img_idx = [0, 0]
+    for topic, stamp, msg in read_messages(bag_path, topic_kinds):
+        if topic == tm["imu"]:
+            imu_rows.append((msg.stamp, msg.acc, msg.gyr))
+        elif topic == tm["leg"]:
+            pos = np.asarray(msg.position)
+            vel = np.asarray(msg.velocity)
+            eff = np.asarray(msg.effort)
+            contact = (eff[12:16] if contact_kind == "force"
+                       else vel[12:16]) if len(vel) >= 16 else np.zeros(4)
+            leg_rows.append((msg.stamp, pos[:12], vel[:12], contact))
+        elif topic == tm["mocap"]:
+            q = msg.q  # ROS xyzw -> wxyz
+            mocap_rows.append((msg.stamp, *msg.p, q[3], q[0], q[1], q[2]))
+        else:
+            side = 0 if topic == tm["image0"] else 1
+            sub = f"cam{side}"
+            os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+            rel = os.path.join(sub, f"{img_idx[side]:06d}.png")
+            img_idx[side] += 1
+            _write_png_gray(os.path.join(out_dir, rel), msg.data)
+            (cam0 if side == 0 else cam1).append((msg.stamp, rel))
+
+    if not imu_rows or not leg_rows:
+        raise ValueError(f"bag has no messages on {tm['imu']} / {tm['leg']}")
+
+    # ApproximateTime pairing on the IMU clock
+    leg_t = np.array([r[0] for r in leg_rows])
+    t, acc, gyr, phi, dphi, contact = [], [], [], [], [], []
+    for ts, a, g in imu_rows:
+        j = int(np.argmin(np.abs(leg_t - ts)))
+        if abs(leg_t[j] - ts) > sync_tol:
+            continue
+        t.append(ts)
+        acc.append(a)
+        gyr.append(g)
+        phi.append(leg_rows[j][1])
+        dphi.append(leg_rows[j][2])
+        contact.append(leg_rows[j][3])
+    if not t:
+        raise ValueError(f"no IMU/joint pairs within {sync_tol}s")
+
+    # stereo pairing within the reference's 3 ms tolerance (main.cpp:105-131)
+    cam_t, image_paths = [], []
+    if cam0:
+        c1t = np.array([r[0] for r in cam1]) if cam1 else None
+        for ts, p0 in cam0:
+            p1 = ""
+            if c1t is not None and len(c1t):
+                j = int(np.argmin(np.abs(c1t - ts)))
+                if abs(c1t[j] - ts) <= 0.003:
+                    p1 = cam1[j][1]
+            cam_t.append(ts)
+            image_paths.append((p0, p1))
+
+    dt_med = float(np.median(np.diff(t))) if len(t) > 1 else 0.002
+    write_dataset(
+        out_dir, np.asarray(t), np.asarray(acc), np.asarray(gyr),
+        np.asarray(phi), np.asarray(dphi), np.asarray(contact),
+        cam_t=np.asarray(cam_t) if cam_t else None,
+        image_paths=image_paths or None,
+        mocap=np.asarray(mocap_rows) if mocap_rows else None,
+        robot=robot, imu_rate=1.0 / max(dt_med, 1e-6),
+        cam_rate=(len(cam_t) / (cam_t[-1] - cam_t[0])
+                  if len(cam_t) > 1 else 15.0),
+        contact_kind=contact_kind)
+    return load_dataset(out_dir)
+
+
+def convert_euroc(euroc_dir: str, out_dir: str, use_groundtruth: bool = True):
+    """EuRoC-MAV ASL directory -> schema-v1 dataset (vision+IMU mode: the
+    estimator runs with use_leg_odom=False, the reference's VINS-Fusion
+    baseline configuration, launch/hardware_a1/hardware_a1_vins.launch).
+
+    Expects the standard layout: mav0/imu0/data.csv (t[ns], gyro xyz,
+    acc xyz), mav0/cam{0,1}/data.csv + data/*.png, and optionally
+    mav0/state_groundtruth_estimate0/data.csv (t[ns], p, q_wxyz, ...).
+    Image paths are referenced in place (absolute), not copied.
+    """
+    mav = os.path.join(euroc_dir, "mav0")
+    imu = np.loadtxt(os.path.join(mav, "imu0", "data.csv"), delimiter=",",
+                     skiprows=1, ndmin=2)
+    t0 = imu[0, 0] * 1e-9
+    t = imu[:, 0] * 1e-9 - t0
+    gyr = imu[:, 1:4]
+    acc = imu[:, 4:7]
+    n = len(t)
+    z12 = np.zeros((n, 12))
+    z4 = np.zeros((n, 4))
+
+    def read_cam(side):
+        p = os.path.join(mav, f"cam{side}", "data.csv")
+        if not os.path.exists(p):
+            return []
+        out = []
+        with open(p) as f:
+            next(f)
+            for line in f:
+                parts = line.strip().split(",")
+                if len(parts) < 2:
+                    continue
+                ts = float(parts[0]) * 1e-9 - t0
+                out.append((ts, os.path.abspath(
+                    os.path.join(mav, f"cam{side}", "data", parts[1]))))
+        return out
+
+    c0, c1 = read_cam(0), read_cam(1)
+    cam_t, image_paths = [], []
+    c1t = np.array([r[0] for r in c1]) if c1 else None
+    for ts, p0 in c0:
+        p1 = ""
+        if c1t is not None and len(c1t):
+            j = int(np.argmin(np.abs(c1t - ts)))
+            if abs(c1t[j] - ts) <= 0.003:
+                p1 = c1[j][1]
+        cam_t.append(ts)
+        image_paths.append((p0, p1))
+
+    mocap = None
+    gt_p = os.path.join(mav, "state_groundtruth_estimate0", "data.csv")
+    if use_groundtruth and os.path.exists(gt_p):
+        gt = np.loadtxt(gt_p, delimiter=",", skiprows=1, ndmin=2)
+        mocap = np.column_stack([gt[:, 0] * 1e-9 - t0, gt[:, 1:4],
+                                 gt[:, 4:8]])
+
+    dt_med = float(np.median(np.diff(t))) if n > 1 else 0.005
+    write_dataset(out_dir, t, acc, gyr, z12, z12, z4,
+                  cam_t=np.asarray(cam_t) if cam_t else None,
+                  image_paths=image_paths or None, mocap=mocap,
+                  robot="euroc", imu_rate=1.0 / max(dt_med, 1e-6),
+                  cam_rate=(len(cam_t) / (cam_t[-1] - cam_t[0])
+                            if len(cam_t) > 1 else 20.0),
+                  contact_kind="flag")
+    return load_dataset(out_dir)
+
+
+def _write_png_gray(path: str, img: np.ndarray):
+    """Write a grayscale PNG (cv2 when available, else a minimal pure-python
+    PNG encoder — 8-bit grayscale, zlib-deflated scanlines)."""
     try:
-        from rosbags.highlevel import AnyReader  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "convert_rosbag needs the 'rosbags' package. Offline, decode the "
-            "bag with any reader and call write_dataset() with the arrays; "
-            "the schema is documented in this module's docstring.") from e
-    raise NotImplementedError(
-        "wire AnyReader message iteration to write_dataset() for your bag's "
-        "exact message types")
+        import cv2
+        cv2.imwrite(path, img)
+        return
+    except Exception:
+        pass
+    import struct as _st
+    import zlib
+
+    h, w = img.shape
+    raw = b"".join(b"\x00" + img[r].astype(np.uint8).tobytes()
+                   for r in range(h))
+
+    def chunk(tag, data):
+        c = _st.pack(">I", len(data)) + tag + data
+        return c + _st.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    ihdr = _st.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
+        f.write(chunk(b"IEND", b""))

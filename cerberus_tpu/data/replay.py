@@ -29,6 +29,17 @@ def replay(sim: dict, cfg: EstimatorConfig | None = None,
     """
     est = est or Estimator(cfg)
     t = sim["t"]
+    if "cam_idx" not in sim:
+        # proprioception-only log (no cam.csv / features.npz): synthesize
+        # the keyframe clock at the configured camera rate so the IMU+leg
+        # window pipeline still runs (reference equivalent: VILO with
+        # vision disabled)
+        rate = float(sim.get("meta", {}).get("cam_rate", 15.0)) or 15.0
+        cam_t = np.arange(t[0], t[-1], 1.0 / rate)
+        sim = dict(sim, cam_t=cam_t,
+                   cam_idx=np.clip(np.searchsorted(t, cam_t), 0, len(t) - 1))
+    if "features" not in sim:
+        sim = dict(sim, features=[{} for _ in sim["cam_idx"]])
     cam_idx = set(int(i) for i in sim["cam_idx"])
     cam_lookup = {int(k): f for k, f in zip(sim["cam_idx"], sim["features"])}
     if max_frames is not None:
