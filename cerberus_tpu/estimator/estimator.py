@@ -51,10 +51,10 @@ def _preint_kernel(contact_sensor_type: int):
     """Shared preintegration kernel per contact model (the contact type
     selects a Python-level branch inside il_preintegrate, so it must stay
     static — the remaining PreintParams fields are traced arrays)."""
-    def f(dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho, params):
+    def f(dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho, params, ff_init):
         params = params._replace(contact_sensor_type=contact_sensor_type)
         return il_preintegrate(dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho,
-                               params)
+                               params, ff_init=ff_init)
     return jax.jit(f)
 
 
@@ -263,9 +263,14 @@ class Estimator:
         self._marg_new = k["marg_new"]
         self._reproj_err = k["reproj"]
 
-    def _preint(self, dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho):
+    def _preint(self, dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho,
+                ff_init=None):
+        if ff_init is None:
+            z = np.zeros
+            ff_init = (z(4), z(4), z((4, C.FOOT_VAR_WINDOW_SIZE)),
+                       z(4, np.int32))
         return self._preint_k(dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho,
-                              self.params)
+                              self.params, ff_init)
 
     # ------------------------------------------------------------------
     def clear_state(self):
@@ -549,9 +554,14 @@ class Estimator:
                            r[31:35])
         self.buffers[k] = buf
         self.preints[k] = self._run_preint(buf, self.ba[k], self.bg[k],
-                                           self.rho[k])
+                                           self.rho[k],
+                                           prev=self.preints[k - 1]
+                                           if k > 0 else None)
 
-    def _run_preint(self, buf: IntervalBuffer, ba, bg, rho):
+    def _run_preint(self, buf: IntervalBuffer, ba, bg, rho, prev=None):
+        """prev: the previous interval's ILPreint — its final adaptive
+        foot-force tracker state seeds this interval (contact model 2; see
+        ILPreint.ff_* docstring). None = cold start."""
         n = len(buf)
         if n < 2:
             return None
@@ -575,11 +585,14 @@ class Estimator:
         mask = np.zeros(S, bool)
         mask[1:n] = True
         self.stats["dispatches"] = self.stats.get("dispatches", 0) + 1
+        ff_init = (None if prev is None else
+                   (prev.ff_min, prev.ff_max, prev.ff_window, prev.ff_idx))
         return self._preint(
             jnp.asarray(dt), jnp.asarray(arr["acc"]), jnp.asarray(arr["gyr"]),
             jnp.asarray(arr["phi"]), jnp.asarray(arr["dphi"]),
             jnp.asarray(arr["c"]), jnp.asarray(mask),
-            jnp.asarray(ba), jnp.asarray(bg), jnp.asarray(rho))
+            jnp.asarray(ba), jnp.asarray(bg), jnp.asarray(rho),
+            ff_init=ff_init)
 
     def _propagate_frame(self, k: int):
         """Initialize frame k+1 by midpoint dead-reckoning through interval
@@ -724,7 +737,8 @@ class Estimator:
         for k in range(10):
             if self.buffers[k] is not None:
                 self.preints[k] = self._run_preint(
-                    self.buffers[k], self.ba[k], self.bg[k], self.rho[k])
+                    self.buffers[k], self.ba[k], self.bg[k], self.rho[k],
+                    prev=self.preints[k - 1] if k > 0 else None)
         self._optimize(init=True)
 
     def _predict_next_frame(self):
@@ -920,7 +934,8 @@ class Estimator:
                               b9.dphi[i], b9.c[i])
             self.buffers[8] = merged
             self.preints[8] = self._run_preint(merged, self.ba[8], self.bg[8],
-                                               self.rho[8])
+                                               self.rho[8],
+                                               prev=self.preints[7])
         elif b9 is not None:
             self.buffers[8] = b9
             self.preints[8] = self.preints[9]

@@ -37,7 +37,11 @@ def _zero_pre(dtype) -> ILPreint:
             dp=z(3), dq=jnp.asarray([1.0, 0, 0, 0], dtype), dv=z(3),
             deps=z(4, 3), sum_deps=z(3), J=z(31, 31),
             P=jnp.eye(31, dtype=dtype), sum_dt=z(), ba=z(3), bg=z(3),
-            rho=z(4), contact_flag=z(4), integration_contact=jnp.zeros((4,), bool))
+            rho=z(4), contact_flag=z(4),
+            integration_contact=jnp.zeros((4,), bool),
+            ff_min=z(4), ff_max=z(4),
+            ff_window=z(4, C.FOOT_VAR_WINDOW_SIZE),
+            ff_idx=jnp.zeros((4,), jnp.int32))
     return _ZERO_PRE[key]
 
 

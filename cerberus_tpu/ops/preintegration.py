@@ -107,6 +107,17 @@ class ILPreint(NamedTuple):
     rho: jax.Array           # (4,) linearization calf lengths
     contact_flag: jax.Array  # (4,) final-step contact flag
     integration_contact: jax.Array  # (4,) bool: leg stayed in contact whole interval
+    # final adaptive foot-force tracker state (contact model 2), threaded
+    # into the NEXT interval's il_preintegrate(ff_init=...). The reference
+    # zero-initializes these per integration object
+    # (imu_leg_integration_base.cpp:29-30), which cold-starts the adaptive
+    # threshold every ~34-sample interval — early-interval swing-leg forces
+    # then read as contact (measured: 9.5% vs 0.3% drift on a 15 s Go1 run
+    # without vision). Persisting the tracker across intervals fixes it.
+    ff_min: jax.Array        # (4,)
+    ff_max: jax.Array        # (4,)
+    ff_window: jax.Array     # (4, FOOT_VAR_WINDOW_SIZE)
+    ff_idx: jax.Array        # (4,) int32
 
 
 # ---------------------------------------------------------------------------
@@ -299,9 +310,17 @@ def _gh_terms(Rq, kin, dphi, w_x, params: PreintParams):
     return g, h
 
 
-def il_init_carry(acc_0, gyr_0, phi_0, dphi_0, c_0) -> _ILCarry:
-    """Fresh integration carry anchored at the given first sample."""
+def il_init_carry(acc_0, gyr_0, phi_0, dphi_0, c_0,
+                  ff_init=None) -> _ILCarry:
+    """Fresh integration carry anchored at the given first sample.
+
+    ff_init: optional (ff_min, ff_max, ff_window, ff_idx) carried over from
+    the previous interval (see ILPreint.ff_* docstring)."""
     dtype = acc_0.dtype
+    if ff_init is None:
+        ff_init = (jnp.zeros(4, dtype), jnp.zeros(4, dtype),
+                   jnp.zeros((4, C.FOOT_VAR_WINDOW_SIZE), dtype),
+                   jnp.zeros(4, jnp.int32))
     return _ILCarry(
         dp=jnp.zeros(3, dtype), dq=lie.quat_identity(dtype),
         dv=jnp.zeros(3, dtype), deps=jnp.zeros((4, 3), dtype),
@@ -309,9 +328,10 @@ def il_init_carry(acc_0, gyr_0, phi_0, dphi_0, c_0) -> _ILCarry:
         J=jnp.eye(31, dtype=dtype), P=jnp.zeros((31, 31), dtype),
         sum_dt=jnp.zeros((), dtype),
         acc_0=acc_0, gyr_0=gyr_0, phi_0=phi_0, dphi_0=dphi_0, c_0=c_0,
-        ff_min=jnp.zeros(4, dtype), ff_max=jnp.zeros(4, dtype),
-        ff_window=jnp.zeros((4, C.FOOT_VAR_WINDOW_SIZE), dtype),
-        ff_idx=jnp.zeros(4, jnp.int32),
+        ff_min=jnp.asarray(ff_init[0], dtype),
+        ff_max=jnp.asarray(ff_init[1], dtype),
+        ff_window=jnp.asarray(ff_init[2], dtype),
+        ff_idx=jnp.asarray(ff_init[3], jnp.int32),
         contact_flag=jnp.zeros(4, dtype),
         integration_contact=jnp.ones(4, dtype=bool),
     )
@@ -500,7 +520,7 @@ def _il_step(carry: _ILCarry, inp, ba, bg, rho, params: PreintParams):
 
 
 def il_preintegrate(dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho,
-                    params: PreintParams) -> ILPreint:
+                    params: PreintParams, ff_init=None) -> ILPreint:
     """Integrate one interval of synced IMU+leg samples.
 
     Args:
@@ -508,6 +528,9 @@ def il_preintegrate(dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho,
       acc/gyr: (S, 3); phi/dphi: (S, 12); c: (S, 4) contact flags or forces.
       mask: (S,) bool validity.
       ba, bg: (3,); rho: (4,) linearization points.
+      ff_init: optional previous-interval (ff_min, ff_max, ff_window,
+        ff_idx) for the contact model 2 adaptive force threshold (the
+        estimator threads pre.ff_* of interval k-1 into interval k).
 
     Matmul precision is pinned to 'highest': on TPU the default f32 matmul
     runs as bf16 passes (~3e-3 relative), which drowns the small ∂ε/∂ρ
@@ -515,7 +538,8 @@ def il_preintegrate(dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho,
     stalls online leg-length estimation. Measured: rho stuck at its init
     under default precision, converges under highest. No-op on CPU.
     """
-    init = il_init_carry(acc[0], gyr[0], phi[0], dphi[0], c[0])
+    init = il_init_carry(acc[0], gyr[0], phi[0], dphi[0], c[0],
+                         ff_init=ff_init)
     step = lambda cr, x: _il_step(cr, x, ba, bg, rho, params)
     with jax.default_matmul_precision("highest"):
         fin, _ = jax.lax.scan(
@@ -526,6 +550,8 @@ def il_preintegrate(dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho,
         dp=fin.dp, dq=fin.dq, dv=fin.dv, deps=fin.deps, sum_deps=fin.sum_deps,
         J=fin.J, P=fin.P, sum_dt=fin.sum_dt, ba=ba, bg=bg, rho=rho,
         contact_flag=fin.contact_flag, integration_contact=fin.integration_contact,
+        ff_min=fin.ff_min, ff_max=fin.ff_max, ff_window=fin.ff_window,
+        ff_idx=fin.ff_idx,
     )
 
 

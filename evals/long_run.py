@@ -48,6 +48,10 @@ def main():
                     help="disable feature prediction seeding")
     ap.add_argument("--loop", action="store_true",
                     help="run loop closure and report corrected drift")
+    ap.add_argument("--robot", default="a1", choices=["a1", "go1"],
+                    help="go1 = force-sigmoid contacts (type 2) with leg "
+                         "bias fixed, per the reference's Go1 config "
+                         "(config/go1_config/hardware_go1_vilo_config.yaml)")
     ap.add_argument("--out", default=None, help="append result to JSON file")
     ap.add_argument("--tag", default=None)
     args = ap.parse_args()
@@ -73,9 +77,13 @@ def main():
     import dataclasses
     import numpy as np
 
-    sim = simulate(SimConfig(duration=args.duration, speed=args.speed,
-                             path=args.path, seed=args.seed))
     cfg = EstimatorConfig()
+    if args.robot == "go1":
+        from cerberus_tpu.config import GO1
+        cfg = dataclasses.replace(cfg, robot=GO1, contact_sensor_type=2,
+                                  optimize_leg_bias=False)
+    sim = simulate(SimConfig(duration=args.duration, speed=args.speed,
+                             path=args.path, seed=args.seed), est_cfg=cfg)
     if args.no_leg:
         cfg = dataclasses.replace(cfg, use_leg_odom=False,
                                   optimize_leg_bias=False)
@@ -137,6 +145,7 @@ def main():
 
     result = dict(
         platform=jax.devices()[0].platform, dtype=str(dtype.__name__),
+        robot=args.robot,
         duration_s=args.duration, path=args.path, speed=args.speed,
         images=bool(args.images), tracker=args.tracker if args.images else None,
         distance_m=round(out["distance"], 2),
@@ -189,7 +198,8 @@ def main():
         tag = args.tag or f"{args.path}_{int(args.duration)}s" + \
             ("_img" if args.images else "") + \
             (f"_{args.tracker}" if args.images else "") + \
-            ("_loop" if args.loop else "")
+            ("_loop" if args.loop else "") + \
+            (f"_{args.robot}" if args.robot != "a1" else "")
         existing[tag] = result
         with open(args.out, "w") as f:
             json.dump(existing, f, indent=1)

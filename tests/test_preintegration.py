@@ -436,3 +436,58 @@ def test_padding_mask_invariance():
     np.testing.assert_allclose(np.asarray(pre2.dp), np.asarray(pre.dp), atol=0)
     np.testing.assert_allclose(np.asarray(pre2.P), np.asarray(pre.P), atol=0)
     np.testing.assert_allclose(np.asarray(pre2.sum_dt), np.asarray(pre.sum_dt), atol=0)
+
+
+def test_ff_state_threads_across_intervals():
+    """Contact model 2: splitting a force stream at an interval boundary and
+    threading ILPreint.ff_* must reproduce the unsplit adaptive-threshold
+    evolution exactly (the estimator shares the boundary sample between
+    consecutive intervals, so the step pair sequence is identical)."""
+    rng = np.random.default_rng(3)
+    S = 40
+    d = build_leg_inputs(S=S)
+    # gait-like: stance (~60 N) for the first half, swing (~2 N) after —
+    # the adaptive threshold needs to see both phases of a leg to
+    # discriminate (its min/max track that leg's own force range)
+    forces = np.concatenate([60 + 5 * rng.standard_normal((S // 2, 4)),
+                             2 + 0.5 * rng.standard_normal((S - S // 2, 4))])
+    c = jnp.asarray(forces)
+    p2 = PARAMS._replace(contact_sensor_type=2)
+    args = lambda sl: (d["dt"][sl], d["acc"][sl], d["gyr"][sl],
+                       d["phi"][sl], d["dphi"][sl], c[sl], d["mask"][sl])
+    zero3 = jnp.zeros(3)
+    full = il_preintegrate(*args(slice(None)), zero3, zero3, d["rho"], p2)
+    k = 17
+    first = il_preintegrate(*args(slice(0, k)), zero3, zero3, d["rho"], p2)
+    # second interval shares boundary sample k-1 (estimator convention)
+    mask2 = d["mask"][k - 1:].at[0].set(False)
+    second = il_preintegrate(
+        d["dt"][k - 1:], d["acc"][k - 1:], d["gyr"][k - 1:],
+        d["phi"][k - 1:], d["dphi"][k - 1:], c[k - 1:], mask2,
+        zero3, zero3, d["rho"], p2,
+        ff_init=(first.ff_min, first.ff_max, first.ff_window, first.ff_idx))
+    np.testing.assert_allclose(np.asarray(second.ff_min),
+                               np.asarray(full.ff_min), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(second.ff_max),
+                               np.asarray(full.ff_max), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(second.contact_flag),
+                               np.asarray(full.contact_flag), atol=1e-12)
+    # warm thresholds classify the final swing samples as airborne...
+    assert np.all(np.asarray(full.contact_flag) < 0.05)
+    # ...whereas a COLD-started integration of ONLY the swing samples
+    # misclassifies them as contact (the per-interval reset this threading
+    # fixes: the leg's own ~2 N swing force becomes its max -> threshold
+    # sits below it)
+    m = S // 2
+    mask3 = d["mask"][m:].at[0].set(False)
+    cold = il_preintegrate(
+        d["dt"][m:], d["acc"][m:], d["gyr"][m:],
+        d["phi"][m:], d["dphi"][m:], c[m:], mask3,
+        zero3, zero3, d["rho"], p2)
+    assert np.all(np.asarray(cold.contact_flag) > 0.5)
+    warm = il_preintegrate(
+        d["dt"][m:], d["acc"][m:], d["gyr"][m:],
+        d["phi"][m:], d["dphi"][m:], c[m:], mask3,
+        zero3, zero3, d["rho"], p2,
+        ff_init=(first.ff_min, first.ff_max, first.ff_window, first.ff_idx))
+    assert np.all(np.asarray(warm.contact_flag) < 0.05)
