@@ -211,3 +211,35 @@ class PoseGraph:
 def _np_rot_z(yaw):
     c, s = np.cos(yaw), np.sin(yaw)
     return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+
+
+def save_pose_graph(pg: PoseGraph, path: str):
+    """Persist nodes + edges (the reference's loop_fusion offers pose-graph
+    save/load via pose_graph_save_path, config a1 yaml:101-104)."""
+    e_i = np.array([e[0] for e in pg.edges], np.int64)
+    e_j = np.array([e[1] for e in pg.edges], np.int64)
+    rel_p = (np.stack([e[2] for e in pg.edges])
+             if pg.edges else np.zeros((0, 3)))
+    rel_yaw = np.array([e[3] for e in pg.edges])
+    e_w = np.array([e[4] for e in pg.edges])
+    np.savez(path, n=pg.n, p=pg.p[: pg.n], yaw=pg.yaw[: pg.n],
+             e_i=e_i, e_j=e_j, rel_p=rel_p, rel_yaw=rel_yaw, e_w=e_w,
+             n_loop_edges=pg.n_loop_edges)
+
+
+def load_pose_graph(path: str, **kwargs) -> PoseGraph:
+    """Rebuild a PoseGraph saved by save_pose_graph; further keyframes can
+    be appended and re-optimized against the loaded map."""
+    z = np.load(path)
+    n = int(z["n"])
+    cap = max(512, 1 << max(n - 1, 1).bit_length())
+    pg = PoseGraph(capacity_nodes=cap, auto_detect=False, **kwargs)
+    pg.n = n
+    pg.p[:n] = z["p"]
+    pg.yaw[:n] = z["yaw"]
+    pg.feat_ids = [set() for _ in range(n)]
+    pg.edges = [(int(i), int(j), rp, float(ry), float(w))
+                for i, j, rp, ry, w in zip(z["e_i"], z["e_j"], z["rel_p"],
+                                           z["rel_yaw"], z["e_w"])]
+    pg.n_loop_edges = int(z["n_loop_edges"])
+    return pg

@@ -101,3 +101,25 @@ def test_estimator_feeds_posegraph():
     assert len(pg.edges) >= pg.n - 1       # sequential edges formed
     pg.optimize(iters=4)
     assert np.isfinite(pg.p[: pg.n]).all()
+
+
+def test_pose_graph_save_load_roundtrip(tmp_path):
+    """Pose-graph persistence (reference: loop_fusion pose_graph_save_path,
+    a1 yaml:101-104): save -> load -> optimize reproduces the same states."""
+    from cerberus_tpu.loop.posegraph import (load_pose_graph,
+                                             save_pose_graph)
+    pg = PoseGraph(min_overlap=5, min_gap=8, auto_detect=False)
+    for k in range(12):
+        pg.add_keyframe(np.array([0.5 * k, 0.05 * k, 0]), 0.02 * k)
+    pg.add_loop_edge(1, 11, rel_p=np.array([5.0, 0.4, 0]), rel_yaw=0.2,
+                     weight=20.0)
+    path = str(tmp_path / "pg.npz")
+    save_pose_graph(pg, path)
+    pg2 = load_pose_graph(path)
+    assert pg2.n == pg.n and len(pg2.edges) == len(pg.edges)
+    assert pg2.n_loop_edges == 1
+    np.testing.assert_allclose(pg2.p[: pg2.n], pg.p[: pg.n])
+    pg.optimize(iters=8)
+    pg2.optimize(iters=8)
+    np.testing.assert_allclose(pg2.p[: pg2.n], pg.p[: pg.n], atol=1e-8)
+    np.testing.assert_allclose(pg2.yaw[: pg2.n], pg.yaw[: pg.n], atol=1e-8)
