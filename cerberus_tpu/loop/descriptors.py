@@ -21,7 +21,13 @@ from __future__ import annotations
 import numpy as np
 
 TINY_H, TINY_W = 12, 16
-PATCH_HALF = 5
+# 23x23 patches: point-feature-centered patches need enough CONTEXT (the
+# constellation of neighboring structure) to disambiguate repetitive
+# blob/corner-like appearance. Measured on true-revisit pairs of the
+# rendered street circuit (evals/diag_loop.py): half=5 gave p50 8
+# mutual-best matches (below any usable gate); half=11 gives p50 26 with
+# 0/40 false pairs surviving RANSAC PnP.
+PATCH_HALF = 11
 PATCH_DIM = (2 * PATCH_HALF + 1) ** 2
 
 
@@ -66,12 +72,18 @@ def extract_patches(img: np.ndarray, pts: np.ndarray,
 
 def match_patches(d_new: np.ndarray, ok_new: np.ndarray,
                   d_old: np.ndarray, ok_old: np.ndarray,
-                  min_score: float = 0.75, ratio: float = 0.85):
+                  min_score: float = 0.6, ratio: float = 0.97):
     """Mutual-best ZNCC matching with a Lowe-style ratio test.
 
     Returns (idx_new, idx_old) integer arrays of accepted pairs. The score
     matrix is one (N, M) matmul — on TPU this is where a pod-scale loop
-    search runs, vmapped over candidate keyframes."""
+    search runs, vmapped over candidate keyframes.
+
+    Defaults are deliberately permissive (measured sweep in
+    evals/diag_loop.py: the strict 0.75/0.85 pair rejected nearly all TRUE
+    revisit matches on repetitive imagery): mutual-best + a soft ratio
+    proposes, and RANSAC PnP downstream is the accept/reject authority —
+    0/40 false place pairs survive it at these settings."""
     if not ok_new.any() or not ok_old.any():
         return np.zeros(0, int), np.zeros(0, int)
     S = d_new @ d_old.T                              # (N, M) cosine = ZNCC
