@@ -29,7 +29,14 @@ class DeviceTracker:
     {id: (pt0 (3,), vel0 (2,), pt1 (3,)|None, vel1 (2,))}, normalized plane."""
 
     def __init__(self, cam0, cam1=None, max_cnt=120, min_dist=10,
-                 flow_back=True, levels=3, half=10, iters=10):
+                 flow_back=True, levels=4, half=10, iters=10):
+        # levels=4 == OpenCV maxLevel=3 (four pyramid images). At 3 levels
+        # the coarsest-level motion of a 15 Hz walking sequence (~4-5 px)
+        # exceeds the attraction basin of small blob features: ~10% of
+        # tracks diverged 20+ px and died at the flow-back gate (survival
+        # 60%/frame vs cv 94%; street_300s_img_device drifted 2.1% vs
+        # 0.245%). With 4 levels the kernel matches OpenCV on the same
+        # frame pair: 0.060 vs 0.061 px median error, 99% fb-pass.
         self.cam0, self.cam1 = cam0, cam1
         self.max_cnt, self.min_dist = max_cnt, min_dist
         self.flow_back = flow_back

@@ -29,7 +29,7 @@ def main():
 
     H, W, N = 480, 640, 150            # reference: 640x480, max_cnt 120-250
     B = int(os.environ.get("KLT_BATCH", "16"))
-    levels = 3
+    levels = 4  # match DeviceTracker default (OpenCV maxLevel=3)
     rng = np.random.default_rng(0)
 
     base = rng.uniform(0, 255, size=(B, H // 4, W // 4)).astype(np.float32)
