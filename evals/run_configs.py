@@ -61,24 +61,42 @@ def main():
     cfg = EstimatorConfig()
 
     if 1 in want:
-        sim = simulate(SimConfig(duration=args.duration, speed=0.4, seed=21))
-        ekf = LeggedEKF(cfg, filter_window=4)
-        ekf.init_filter(sim["t"][0], sim["acc"][0], sim["gyr"][0], sim["phi"][0])
-        ps = []
+        # EKF-only is pure proprioceptive dead-reckoning (the reference's
+        # kf_lib logging baseline, main.cpp:174-190 — no <1% claim attaches
+        # to it; that claim is VILO's). Report BOTH the slip-realistic sim
+        # (foot creep corrupts yaw-rate observability — the very failure
+        # mode Cerberus fuses vision to fix) and the slip-free control,
+        # which isolates filter correctness (bias estimates converge to
+        # ground truth there).
+        def run_ekf(sim):
+            ekf = LeggedEKF(cfg, filter_window=4)
+            ekf.init_filter(sim["t"][0], sim["acc"][0], sim["gyr"][0],
+                            sim["phi"][0])
+            ps = []
+            for k in range(1, len(sim["t"])):
+                ekf.update_filter(sim["t"][k], sim["acc"][k], sim["gyr"][k],
+                                  sim["phi"][k], dphi=sim["dphi"][k],
+                                  foot_force=sim["foot_forces"][k])
+                ps.append(ekf.get_state()[0:3])
+            ps = np.array(ps)
+            gt = sim["p"][1:len(ps) + 1] - sim["p"][0]
+            # height is ground-referenced in the EKF; compare planar
+            m = score(ps[:, :2], gt[:, :2])
+            bg = np.asarray(ekf.state.bg)
+            return m, bg
+
         t0 = time.time()
-        for k in range(1, len(sim["t"])):
-            ekf.update_filter(sim["t"][k], sim["acc"][k], sim["gyr"][k],
-                              sim["phi"][k], dphi=sim["dphi"][k],
-                              foot_force=sim["foot_forces"][k])
-            ps.append(ekf.get_state()[0:3])
-        ps = np.array(ps)
-        gt = sim["p"][1:len(ps) + 1] - sim["p"][0]
-        # height is ground-referenced in the EKF; compare planar
-        m = score(ps[:, :2], gt[:, :2])
-        results["1_ekf_only"] = dict(drift_pct=m["drift_pct"],
-                                     ate_rmse=m["ate_rmse"],
-                                     distance=m["distance"],
-                                     wall_s=round(time.time() - t0, 1))
+        m, bg = run_ekf(simulate(SimConfig(duration=args.duration,
+                                           speed=0.4, seed=21)))
+        m0, bg0 = run_ekf(simulate(SimConfig(
+            duration=args.duration, speed=0.4, seed=21,
+            foot_slip_sigma=0.0, foot_slip_forward_bias=0.0)))
+        results["1_ekf_only"] = dict(
+            drift_pct=m["drift_pct"], ate_rmse=m["ate_rmse"],
+            distance=m["distance"],
+            no_slip=dict(drift_pct=m0["drift_pct"], ate_rmse=m0["ate_rmse"],
+                         bg_z_est=round(float(bg0[2]), 5)),
+            wall_s=round(time.time() - t0, 1))
         print("config 1:", results["1_ekf_only"], flush=True)
 
     if 2 in want:

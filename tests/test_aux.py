@@ -66,6 +66,7 @@ def test_failure_detection_thresholds():
     assert not est.failure_detection()
 
 
+@pytest.mark.slow
 def test_solve_gyroscope_bias_recovers_bias():
     from test_preintegration import build_inputs, PARAMS
 

@@ -40,6 +40,7 @@ def _features_npz(sim, path):
              pts_r=pts_r, vel_r=vel_r)
 
 
+@pytest.mark.slow
 def test_roundtrip_arrays(tmp_path, sim):
     out = str(tmp_path / "ds")
     mocap = np.column_stack([sim["t"][::10], sim["p"][::10]])
@@ -61,6 +62,7 @@ def test_roundtrip_arrays(tmp_path, sim):
     assert (f0_ds[fid][2] is None) == (f0_sim[fid][2] is None)
 
 
+@pytest.mark.slow
 def test_replay_on_logged_dataset(tmp_path, sim):
     """A dataset written to disk replays through the estimator identically
     in structure to the live sim (features path)."""

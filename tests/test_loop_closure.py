@@ -84,6 +84,7 @@ def test_patch_matching_across_viewpoints(rng):
     assert agree > 0.9
 
 
+@pytest.mark.slow
 def test_loop_closer_corrects_drift(rng):
     """A revisit with accumulated odometric drift: place recognition + PnP
     must find the loop and the 4-DoF graph must pull the revisit node back

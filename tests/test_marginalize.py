@@ -60,6 +60,7 @@ def numpy_gauge_project(H, b, state, keep_dense):
     return P @ H @ P, P @ b
 
 
+@pytest.mark.slow
 def test_marginalize_old_matches_numpy_schur(problem):
     data, truth, Fa = problem
     F = truth.depth.shape[0]

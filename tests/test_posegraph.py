@@ -103,6 +103,7 @@ def test_estimator_feeds_posegraph():
     assert np.isfinite(pg.p[: pg.n]).all()
 
 
+@pytest.mark.slow
 def test_pose_graph_save_load_roundtrip(tmp_path):
     """Pose-graph persistence (reference: loop_fusion pose_graph_save_path,
     a1 yaml:101-104): save -> load -> optimize reproduces the same states."""

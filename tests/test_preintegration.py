@@ -12,6 +12,7 @@ Covers what the reference's embedded (commented-out) checkers covered
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cerberus_tpu import config as C
 from cerberus_tpu.config import EstimatorConfig
@@ -178,6 +179,7 @@ def _one_step_setup():
     return d, run, args
 
 
+@pytest.mark.slow
 def test_il_step_V_matches_sample_sensitivities():
     """V's measurement-noise columns ARE d(deltas)/d(sample): check by FD.
 
@@ -438,6 +440,7 @@ def test_padding_mask_invariance():
     np.testing.assert_allclose(np.asarray(pre2.sum_dt), np.asarray(pre.sum_dt), atol=0)
 
 
+@pytest.mark.slow
 def test_ff_state_threads_across_intervals():
     """Contact model 2: splitting a force stream at an interval boundary and
     threading ILPreint.ff_* must reproduce the unsplit adaptive-threshold

@@ -19,6 +19,7 @@ def problem():
                                  start_cam=2, F=40)
 
 
+@pytest.mark.slow
 def test_H_b_match_dense(problem):
     data, truth, Fa = problem
     H, b, r0 = build_normal_equations(truth, data)
@@ -32,6 +33,7 @@ def test_H_b_match_dense(problem):
     np.testing.assert_allclose(np.asarray(r0), np.asarray(r0_dense), atol=1e-10)
 
 
+@pytest.mark.slow
 def test_H_b_match_dense_with_prior_and_perturbation(problem):
     data, truth, Fa = problem
     from cerberus_tpu.ops import marginalize as marg
@@ -50,6 +52,7 @@ def test_H_b_match_dense_with_prior_and_perturbation(problem):
                                atol=1e-8 * max(1.0, np.abs(b_d).max()))
 
 
+@pytest.mark.slow
 def test_structured_solver_matches_dense(problem):
     data, truth, Fa = problem
     rng = np.random.default_rng(1)

@@ -62,6 +62,7 @@ def sim():
     return simulate(SimConfig(duration=10.0, speed=0.5, seed=3))
 
 
+@pytest.mark.slow
 def test_residuals_small_at_truth(sim):
     data, truth, Fa = build_window(sim)
     zero = jnp.zeros((fac.tangent_dim(truth.depth.shape[0]),))
@@ -73,6 +74,7 @@ def test_residuals_small_at_truth(sim):
     assert float(cost) < 20 * n_active, float(cost)
 
 
+@pytest.mark.slow
 def test_solver_recovers_truth(sim):
     rng = np.random.default_rng(1)
     data, truth, Fa = build_window(sim)
@@ -94,6 +96,7 @@ def test_solver_recovers_truth(sim):
     assert rho_err.max() < 0.015, rho_err.max()
 
 
+@pytest.mark.slow
 def test_solver_gauge_anchoring(sim):
     """Frame-0 position and yaw must stay put through the solve."""
     rng = np.random.default_rng(2)
@@ -107,6 +110,7 @@ def test_solver_gauge_anchoring(sim):
     assert abs(ypr_i[0] - ypr_s[0]) < 1e-6
 
 
+@pytest.mark.slow
 def test_solver_jit_second_call_fast(sim):
     import time
     data, truth, Fa = build_window(sim)
