@@ -201,6 +201,10 @@ def main():
             print(f"config 6 ({name}):", results[f"6_image_vilo_{name}"],
                   flush=True)
 
+    plat = jax.devices()[0].platform
+    for k, v in results.items():
+        if isinstance(v, dict) and not k.startswith("_"):
+            v.setdefault("platform", plat)
     existing = {}
     if os.path.exists(args.out):   # merge: configs can run in separate
         try:                       # invocations (different durations)
