@@ -59,6 +59,7 @@ def test_loop_closure_reduces_drift():
     np.testing.assert_allclose(np.asarray(p_opt)[0], est_p[0], atol=1e-9)
 
 
+@pytest.mark.slow
 def test_posegraph_database_detects_loops():
     pg = PoseGraph(min_overlap=5, min_gap=8)
     # walk out and back; features at each end shared

@@ -311,6 +311,7 @@ def build_leg_inputs(S=30, dt_s=0.002, body_only_translation=True):
     )
 
 
+@pytest.mark.slow
 def test_leg_odometry_recovers_translation():
     d = build_leg_inputs(S=40)
     pre = il_preintegrate(d["dt"], d["acc"], d["gyr"], d["phi"], d["dphi"],
@@ -351,6 +352,7 @@ def test_il_imu_block_matches_imu_only():
     np.testing.assert_allclose(Pil[np.ix_(m, m)], Pimu[np.ix_(m, m)], atol=1e-14)
 
 
+@pytest.mark.slow
 def test_il_bias_rho_jacobian_fd():
     d = build_leg_inputs(S=25)
     ba0, bg0 = jnp.zeros(3), jnp.zeros(3)

@@ -69,6 +69,7 @@ def test_structured_solver_matches_dense(problem):
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_linearize_rows_matches_dense(problem):
     """linearize_rows (factor-sparse J assembly, used by marginalization)
     must reproduce factors.linearize's weighted (r, J) exactly."""
@@ -86,6 +87,7 @@ def test_linearize_rows_matches_dense(problem):
                                atol=1e-8 * scale)
 
 
+@pytest.mark.slow
 def test_schur_solve_matches_dense_damped_solve(problem):
     """Closed-form depth elimination must reproduce the full damped solve
     exactly (the depth-depth block is diagonal by construction)."""
@@ -120,6 +122,7 @@ def test_schur_solve_matches_dense_damped_solve(problem):
                                    atol=1e-9 * max(1.0, np.abs(dx_dense).max()))
 
 
+@pytest.mark.slow
 def test_schur_gauge_projection_matches_full(problem):
     """Rank-4 gauge projection on the blocks == dense P H P on the full
     system (gauge basis has no depth support)."""
@@ -151,6 +154,7 @@ def test_schur_gauge_projection_matches_full(problem):
                                atol=1e-8 * max(1.0, np.abs(dx1).max()))
 
 
+@pytest.mark.slow
 def test_schur_full_solve_matches_nonschur(problem):
     data, truth, Fa = problem
     rng = np.random.default_rng(3)

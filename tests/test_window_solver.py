@@ -127,6 +127,7 @@ def test_solver_jit_second_call_fast(sim):
     assert dt < 30.0, dt
 
 
+@pytest.mark.slow
 def test_use_leg_odom_false_silences_leg_rows(sim):
     """Vision+IMU-only mode: with use_leg_odom=False the packed problem's
     whitened eps/rho residual rows must carry ~zero information (reference
