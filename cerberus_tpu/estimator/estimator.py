@@ -297,6 +297,7 @@ class Estimator:
         self.preints = [None] * 10
         self.prior = None          # (J, r, lin_state)
         self.prev_img_t = None
+        self._pending_frames = []  # frames waiting for proprio to reach t+td
         self._last_raw = None      # (acc, gyr) of the newest pushed sample
         if getattr(self, "use_native", False):
             from cerberus_tpu.native import SensorSync
@@ -339,6 +340,18 @@ class Estimator:
         self._last_raw = (np.asarray(acc, float), np.asarray(gyr, float))
         if self.latest is not None:
             self._fast_predict(t, np.asarray(acc), np.asarray(gyr))
+        # drain frames that were waiting for the proprio stream to reach
+        # their exposure instant t_img + td (reference: processMeasurements
+        # spin-waits on IMUAvailable(curTime), estimator.cpp:414-429; the
+        # callback-driven equivalent is deferring the frame to the sensor
+        # tick that completes its interval). Without this, a positive td
+        # asks extract() for future samples, every interval closes empty,
+        # and the estimator silently degrades to vision-only.
+        while (self._pending_frames
+               and self.sync.latest_time() >= self._pending_frames[0][0]
+               + self.td):
+            t_img, feats = self._pending_frames.pop(0)
+            self._process_image(t_img, feats)
 
     def _fast_predict(self, t, acc, gyr):
         """IMU-rate forward propagation of the newest state
@@ -360,7 +373,21 @@ class Estimator:
 
     # ------------------------------------------------------------------
     def input_image(self, t, feats: dict):
-        """15 Hz camera tick. feats: {id: (pt0(3,), vel0(2,), pt1|None, vel1)}."""
+        """15 Hz camera tick. feats: {id: (pt0(3,), vel0(2,), pt1|None, vel1)}.
+
+        If the proprioceptive stream has not yet reached the frame's
+        exposure instant t + td (positive td: the image clock leads the
+        IMU clock), the frame is queued and processed from the sensor tick
+        that completes its interval (see input_imu_leg)."""
+        if (self.cfg.use_imu and self.frame_count > 0
+                and self.sync.latest_time() < t + self.td):
+            self._pending_frames.append((t, feats))
+            self.stats["deferred_frames"] = \
+                self.stats.get("deferred_frames", 0) + 1
+            return
+        self._process_image(t, feats)
+
+    def _process_image(self, t, feats: dict):
         fc = self.frame_count
         if not self.cfg.stereo:
             # mono mode: drop right-cam observations (changeSensorType)
