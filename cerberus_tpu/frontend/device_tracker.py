@@ -4,24 +4,39 @@ Same algorithmic pipeline and output format as frontend/tracker.FeatureTracker
 (itself mirroring the reference's trackImage, feature_tracker.cpp:94-302):
 pyramidal LK with forward-backward check, min-distance masking preferring
 long tracks, Shi-Tomasi replenishment, left->right stereo LK, per-feature
-normalized-plane velocities — but the per-frame compute (pyramids, LK,
-detection) runs as jitted XLA programs with static shapes, so it can be
-vmapped/sharded over thousands of streams (the reference's single-threaded
-OpenCV front-end is the throughput ceiling SURVEY.md §3 hot-loop #4 calls
-out).
+normalized-plane velocities.
+
+Serving shape (r4): ALL per-frame device work — new-frame pyramid, the full
+multi-level LK with fb-check, greedy min-distance suppression, detection,
+and the stereo pass — runs as ONE jitted program (klt.track_frame), with the
+previous frame's pyramid carried device-resident and images uploaded as
+uint8. One dispatch + one small fetch per frame, vs >=13 dispatches in the
+r3 layout (397 ms/frame through the TPU relay; the camera budget is 66 ms).
 
 Slot bookkeeping (ids, track counts) stays on host — tiny, and keeps the
-device programs shape-static. The tracker works on raw grayscale images of a
-fixed (H, W); CLAHE is optional host-side preprocessing.
+device program shape-static at max_cnt point slots.
 """
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+from functools import partial
 
 from cerberus_tpu.ops import klt
+
+
+@partial(jax.jit, static_argnames=("levels", "min_dist", "max_new"))
+def _first_frame(img0_u8, levels, min_dist, max_new):
+    """Frame-0 program: pyramid + unmasked detection."""
+    img0 = img0_u8.astype(jnp.float32)
+    pyr0 = tuple(klt.build_pyramid(img0, levels))
+    occ = jnp.zeros(img0.shape, bool)
+    det_pts, det_ok = klt._detect_with_occ(img0, occ, max_new, min_dist)
+    return dict(det_pts=det_pts, det_ok=det_ok, pyr0=pyr0)
 
 
 class DeviceTracker:
@@ -42,96 +57,107 @@ class DeviceTracker:
         self.flow_back = flow_back
         self.levels, self.half, self.iters = levels, half, iters
         self.next_id = 0
+        # host mirrors of the N compacted live tracks (N <= max_cnt)
         self.ids = np.zeros((0,), np.int64)
         self.track_cnt = np.zeros((0,), np.int64)
         self.prev_pts = np.zeros((0, 2), np.float32)
-        self.prev_pyr = None
+        self.prev_pyr = None            # device-resident pyramid carry
         self.prev_time = None
         self.prev_un: dict[int, np.ndarray] = {}
         self._prev_r_un: dict[int, np.ndarray] = {}
         self.predict_pts: dict[int, np.ndarray] | None = None
-
-        self._pyramid = jax.jit(
-            lambda im: klt.build_pyramid(im, self.levels))
+        self.stats = {"dispatches": 0, "frames": 0, "block_ms": 0.0}
 
     # ------------------------------------------------------------------
-    def _lk(self, pyr0, pyr1, pts, guess=None):
-        """Track host pts (N,2) pyr0->pyr1; returns (new_pts, status) np."""
-        if len(pts) == 0:
-            return pts.copy(), np.zeros((0,), bool)
-        p = jnp.asarray(pts, jnp.float32)
-        g = None if guess is None else jnp.asarray(guess, jnp.float32)
-        valid = jnp.ones((len(pts),), bool)
-        fn = klt.lk_track_fb if self.flow_back else klt.lk_track
-        res = fn(pyr0, pyr1, p, valid, g, half=self.half, iters=self.iters)
-        new, st = jax.device_get((res.pts, res.status))
-        return np.asarray(new), np.asarray(st)
+    @staticmethod
+    def _u8(img):
+        img = np.asarray(img)
+        if img.dtype != np.uint8:
+            img = np.clip(img, 0, 255).astype(np.uint8)
+        return img
 
-    def _mask_and_detect(self, pyr0, img_shape, cur_pts):
-        """Min-distance mask preferring long tracks + top-up detection
-        (reference: feature_tracker.cpp:55-84, 177-195)."""
-        H, W = img_shape
-        order = np.argsort(-self.track_cnt, kind="stable")
-        keep = []
-        occ = np.zeros((H, W), bool)
-        for i in order:
-            x, y = int(round(cur_pts[i, 0])), int(round(cur_pts[i, 1]))
-            if 0 <= x < W and 0 <= y < H and not occ[y, x]:
-                keep.append(i)
-                y0, y1 = max(0, y - self.min_dist), min(H, y + self.min_dist + 1)
-                x0, x1 = max(0, x - self.min_dist), min(W, x + self.min_dist + 1)
-                occ[y0:y1, x0:x1] = True
-        keep = np.array(keep, np.int64) if keep else np.zeros((0,), np.int64)
-        cur_pts = cur_pts[keep]
-        self.ids = self.ids[keep]
-        self.track_cnt = self.track_cnt[keep]
-
-        n_new = self.max_cnt - len(cur_pts)
-        if n_new > 0:
-            pts, ok = klt.detect_features(
-                pyr0[0], jnp.asarray(occ), max_new=int(self.max_cnt),
-                min_dist=self.min_dist)
-            pts, ok = jax.device_get((pts, ok))
-            pts = pts[ok][:n_new]
-            if len(pts):
-                cur_pts = np.concatenate([cur_pts, pts.astype(np.float32)])
-                new_ids = np.arange(self.next_id, self.next_id + len(pts))
-                self.next_id += len(pts)
-                self.ids = np.concatenate([self.ids, new_ids])
-                self.track_cnt = np.concatenate(
-                    [self.track_cnt, np.zeros(len(pts), np.int64)])
-        return cur_pts
+    def _pad_slots(self):
+        """Pack the compacted host tracks into max_cnt static slots."""
+        N = self.max_cnt
+        n = len(self.prev_pts)
+        pts = np.zeros((N, 2), np.float32)
+        pts[:n] = self.prev_pts
+        valid = np.zeros((N,), bool)
+        valid[:n] = True
+        guess = pts.copy()
+        if self.predict_pts:
+            for i, fid in enumerate(self.ids):
+                if fid in self.predict_pts:
+                    guess[i] = self.predict_pts[fid]
+        prio = np.full((N,), -1, np.int32)
+        prio[:n] = np.minimum(self.track_cnt, 2**30)
+        return pts, valid, guess, prio
 
     # ------------------------------------------------------------------
     def track(self, t: float, img0: np.ndarray, img1: np.ndarray | None = None):
-        img0 = np.asarray(img0, np.float32)
-        pyr0 = self._pyramid(jnp.asarray(img0))
+        t_wall = time.time()
+        img0_u8 = self._u8(img0)
+        stereo = img1 is not None and self.cam1 is not None
+        if self.prev_pyr is None:
+            out = _first_frame(jnp.asarray(img0_u8), self.levels,
+                               self.min_dist, self.max_cnt)
+            self.stats["dispatches"] += 1
+            det_pts, det_ok = jax.device_get((out["det_pts"], out["det_ok"]))
+            self.prev_pyr = out["pyr0"]
+            cur_pts = det_pts[det_ok][: self.max_cnt].astype(np.float32)
+            self.ids = np.arange(self.next_id, self.next_id + len(cur_pts))
+            self.next_id += len(cur_pts)
+            self.track_cnt = np.zeros(len(cur_pts), np.int64)
+            right = {}
+        else:
+            pts, valid, guess, prio = self._pad_slots()
+            out = klt.track_frame(
+                self.prev_pyr, jnp.asarray(img0_u8),
+                jnp.asarray(self._u8(img1)) if stereo
+                else jnp.asarray(img0_u8),
+                jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(guess),
+                jnp.asarray(prio), levels=self.levels, half=self.half,
+                iters=self.iters, min_dist=self.min_dist,
+                fb_thresh=0.5 if self.flow_back else 1e9, stereo=stereo)
+            self.stats["dispatches"] += 1
+            # ONE small blocking fetch; the new pyramid stays on device
+            new_pts, keep, det_pts, det_ok, r_pts, r_ok = jax.device_get(
+                (out["pts"], out["keep"], out["det_pts"], out["det_ok"],
+                 out["r_pts"], out["r_ok"]))
+            self.prev_pyr = out["pyr0"]
 
-        cur_pts = np.zeros((0, 2), np.float32)
-        if len(self.prev_pts):
-            guess = None
-            if self.predict_pts:
-                guess = self.prev_pts.copy()
-                for i, fid in enumerate(self.ids):
-                    if fid in self.predict_pts:
-                        guess[i] = self.predict_pts[fid]
-            cur, st = self._lk(self.prev_pyr, pyr0, self.prev_pts, guess)
-            cur_pts = cur[st]
-            self.ids = self.ids[st]
-            self.track_cnt = self.track_cnt[st] + 1
-        cur_pts = self._mask_and_detect(pyr0, img0.shape, cur_pts)
+            n = len(self.prev_pts)
+            kept = np.nonzero(keep[:n])[0]
+            cur_pts = new_pts[kept].astype(np.float32)
+            self.ids = self.ids[kept]
+            self.track_cnt = self.track_cnt[kept] + 1
 
-        right = {}
-        if img1 is not None and self.cam1 is not None and len(cur_pts):
-            pyr1 = self._pyramid(jnp.asarray(np.asarray(img1, np.float32)))
-            curR, stR = self._lk(pyr0, pyr1, cur_pts)
-            un_r = self.cam1.undistort_normalize(curR)
-            for i in np.nonzero(stR)[0]:
-                right[int(self.ids[i])] = un_r[i]
+            right = {}
+            if stereo:
+                r_sel = np.nonzero(r_ok[kept])[0]  # rows of cur_pts/self.ids
+                if len(r_sel):
+                    un_r = self.cam1.undistort_normalize(
+                        r_pts[kept][r_sel].astype(np.float32))
+                    for j, sl in enumerate(r_sel):
+                        right[int(self.ids[sl])] = un_r[j]
 
-        un = self.cam0.undistort_normalize(cur_pts)
+            # replenish from the in-device detections
+            n_new = self.max_cnt - len(cur_pts)
+            if n_new > 0:
+                dets = det_pts[det_ok][:n_new].astype(np.float32)
+                if len(dets):
+                    cur_pts = np.concatenate([cur_pts, dets])
+                    new_ids = np.arange(self.next_id,
+                                        self.next_id + len(dets))
+                    self.next_id += len(dets)
+                    self.ids = np.concatenate([self.ids, new_ids])
+                    self.track_cnt = np.concatenate(
+                        [self.track_cnt, np.zeros(len(dets), np.int64)])
+
+        un = (self.cam0.undistort_normalize(cur_pts) if len(cur_pts)
+              else np.zeros((0, 2)))
         dt = (t - self.prev_time) if self.prev_time is not None else 1.0
-        out, new_un, new_r_un = {}, {}, {}
+        out_d, new_un, new_r_un = {}, {}, {}
         for i, fid in enumerate(self.ids):
             fid = int(fid)
             vel = ((un[i] - self.prev_un[fid]) / dt
@@ -142,17 +168,19 @@ class DeviceTracker:
                 rv = ((right[fid] - self._prev_r_un[fid]) / dt
                       if fid in self._prev_r_un else np.zeros(2))
                 new_r_un[fid] = right[fid]
-                out[fid] = (pt, vel,
-                            np.array([right[fid][0], right[fid][1], 1.0]), rv)
+                out_d[fid] = (pt, vel,
+                              np.array([right[fid][0], right[fid][1], 1.0]),
+                              rv)
             else:
-                out[fid] = (pt, vel, None, np.zeros(2))
+                out_d[fid] = (pt, vel, None, np.zeros(2))
 
-        self.prev_pyr = pyr0
         self.prev_pts = cur_pts
         self.prev_un, self._prev_r_un = new_un, new_r_un
         self.prev_time = t
         self.predict_pts = None
-        return out
+        self.stats["frames"] += 1
+        self.stats["block_ms"] += 1000.0 * (time.time() - t_wall)
+        return out_d
 
     def set_prediction(self, pts: dict[int, np.ndarray]):
         self.predict_pts = pts

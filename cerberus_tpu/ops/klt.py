@@ -220,6 +220,88 @@ def lk_track_fb(pyr0, pyr1, pts, valid, guess=None, half=10, iters=10,
 
 
 # ---------------------------------------------------------------------------
+# Fused per-frame tracking program (serving path)
+# ---------------------------------------------------------------------------
+
+
+def _greedy_mask(pts, status, priority, min_dist, shape):
+    """Device-side greedy min-distance suppression preferring long tracks
+    (reference: feature_tracker.cpp:55-84 — iterate tracks by descending
+    track count, keep a point iff its pixel is unmasked, then mask its
+    min_dist neighborhood). Sequential by construction; runs as a fori_loop
+    over the N slots inside the fused program. The masked square is shifted
+    (not clipped) within min_dist of the border — detection excludes the
+    border anyway. Returns (keep (N,) bool, occupancy (H, W) bool)."""
+    H, W = shape
+    N = pts.shape[0]
+    side = 2 * min_dist + 1
+    patch = jnp.ones((side, side), bool)
+    # invalid/failed slots sort last and are never kept
+    order = jnp.argsort(jnp.where(status, -priority, jnp.iinfo(jnp.int32).max))
+
+    def body(i, carry):
+        occ, keep = carry
+        s = order[i]
+        x = jnp.clip(jnp.round(pts[s, 0]).astype(jnp.int32), 0, W - 1)
+        y = jnp.clip(jnp.round(pts[s, 1]).astype(jnp.int32), 0, H - 1)
+        free = jnp.logical_and(status[s],
+                               jnp.logical_not(occ[y, x]))
+        y0 = jnp.clip(y - min_dist, 0, H - side)
+        x0 = jnp.clip(x - min_dist, 0, W - side)
+        blk = jax.lax.dynamic_slice(occ, (y0, x0), (side, side))
+        occ = jax.lax.dynamic_update_slice(
+            occ, jnp.where(free, patch | blk, blk), (y0, x0))
+        keep = keep.at[s].set(free)
+        return occ, keep
+
+    occ0 = jnp.zeros((H, W), bool)
+    keep0 = jnp.zeros((N,), bool)
+    occ, keep = jax.lax.fori_loop(0, N, body, (occ0, keep0))
+    return keep, occ
+
+
+@partial(jax.jit, static_argnames=("levels", "half", "iters", "min_dist",
+                                   "fb_thresh", "stereo"))
+def track_frame(prev_pyr, img0_u8, img1_u8, pts, valid, guess, priority,
+                levels=4, half=10, iters=10, min_dist=10, fb_thresh=0.5,
+                stereo=True):
+    """ONE jitted program for a full tracker frame: build the new pyramid,
+    pyramidal LK prev->cur with forward-backward check, greedy min-distance
+    suppression, Shi-Tomasi replenishment candidates, and (stereo) the
+    left->right LK — the whole per-frame device work of the reference's
+    trackImage (feature_tracker.cpp:94-302) in a single dispatch.
+
+    The r3 serving path jitted each LK level separately (5 dispatches per
+    LK pass) plus pyramid/detect programs: >=13 round-trips/frame, 397 ms
+    through the TPU relay vs the 66 ms camera budget. Fusing makes the
+    per-frame cost one dispatch + one small fetch.
+
+    prev_pyr: tuple of L arrays from the previous call (device-resident;
+      pass the returned `pyr0`). Images enter as uint8 (4x cheaper on the
+      host->device link than f32).
+    Returns dict: pts (N,2), keep (N,), err (N,), det_pts (N,2), det_ok
+      (N,), r_pts (N,2), r_ok (N,), pyr0 (tuple, carry to next call).
+    """
+    img0 = img0_u8.astype(jnp.float32)
+    pyr0 = tuple(build_pyramid(img0, levels))
+    fwd = lk_track_fb(list(prev_pyr), list(pyr0), pts, valid, guess,
+                      half=half, iters=iters, fb_thresh=fb_thresh)
+    keep, occ = _greedy_mask(fwd.pts, fwd.status, priority, min_dist,
+                             img0.shape)
+    det_pts, det_ok = _detect_with_occ(pyr0[0], occ, pts.shape[0], min_dist)
+    if stereo:
+        img1 = img1_u8.astype(jnp.float32)
+        pyr1 = tuple(build_pyramid(img1, levels))
+        right = lk_track_fb(list(pyr0), list(pyr1), fwd.pts, keep,
+                            half=half, iters=iters, fb_thresh=fb_thresh)
+        r_pts, r_ok = right.pts, right.status
+    else:
+        r_pts, r_ok = fwd.pts, jnp.zeros_like(keep)
+    return dict(pts=fwd.pts, keep=keep, err=fwd.err, det_pts=det_pts,
+                det_ok=det_ok, r_pts=r_pts, r_ok=r_ok, pyr0=pyr0)
+
+
+# ---------------------------------------------------------------------------
 # Shi-Tomasi detection (cv::goodFeaturesToTrack equivalent)
 # ---------------------------------------------------------------------------
 
@@ -267,6 +349,11 @@ def detect_features(img: jax.Array, occupied: jax.Array, max_new: int,
 
     occupied: (H, W) bool — True where new detections are forbidden.
     Returns (pts (max_new, 2) float32 (x, y), ok (max_new,) bool)."""
+    return _detect_with_occ(img, occupied, max_new, min_dist, border, quality)
+
+
+def _detect_with_occ(img, occupied, max_new, min_dist, border=12,
+                     quality=0.01):
     H, W = img.shape
     score = shi_tomasi(img)
     yy, xx = jnp.mgrid[0:H, 0:W]
