@@ -107,6 +107,12 @@ class NoiseConfig:
     v_n_term1_steep: float = 10.0
     v_n_term2_var_rescale: float = 1e-6
     v_n_term3_distance_rescale: float = 1e-3
+    # LO-consistency guard for binary contact models 0/1 (see
+    # PreintParams.lo_guard): variance added per (v_leg - delta_v)^2; at
+    # 0.1, a 1 m/s kinematic disagreement inflates a claimed-stance leg's
+    # variance ~100x over v_n_min_xy. 0 restores exact reference
+    # semantics (reference trusts binary flags blindly).
+    contact_lo_guard_rescale: float = 0.1
     # legged-EKF noise (the reference's kalmanFilter submodule is not
     # vendored, so these keys are this framework's own; defaults tuned on the
     # simulator — loadable from YAML like every other noise key)

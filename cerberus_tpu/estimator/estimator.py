@@ -84,24 +84,54 @@ def _shared_kernels(max_iters: int) -> dict:
 
 @_functools.lru_cache(maxsize=None)
 def _streaming_kernel(max_iters: int, mode: str, use_leg_odom: bool,
-                      marg_td_info: bool):
-    """ONE fused device program per NON_LINEAR frame: pack (preint stacking
-    + WindowData assembly) -> LM solve -> outlier scoring -> in-device
-    3 px gating -> marginalization -> prior frame-shift.
+                      marg_td_info: bool, ct: int = 0, S9: int = 0,
+                      S8: int = 0):
+    """ONE fused device program per NON_LINEAR frame: newest-interval
+    preintegration -> pack (WindowData assembly) -> LM solve -> outlier
+    scoring -> in-device 3 px gating -> marginalization -> prior
+    frame-shift -> (non-keyframe) spliced re-preintegration.
 
     The r2 streaming path issued >=4 dispatches per frame (stack_preints,
     solve_scored, marginalize, plus a blocking device_get in
     _propagate_frame); through a relayed TPU each extra dispatch costs a
     ~25 ms round-trip, which alone broke the 66 ms camera budget
     (reference real-time knobs: max_solver_time 0.1 s,
-    estimator.cpp:1226-1233).
+    estimator.cpp:1226-1233). r3 still dispatched the newest-interval
+    preintegration (and the MARGIN_SECOND_NEW splice) separately; r4 folds
+    both in, making every steady-state frame exactly one dispatch plus one
+    small blocking fetch.
 
     mode: 'old' (MARGIN_OLD), 'new' (MARGIN_SECOND_NEW with a live prior),
-    'none' (no marginalization: MARGIN_SECOND_NEW without a prior)."""
+    'none' (no marginalization: MARGIN_SECOND_NEW without a prior).
+    ct: contact sensor type (static — selects a Python branch in
+      il_preintegrate; the pattern of _preint_kernel).
+    S9: padded sample count of the newest interval's raw buffer; 0 =
+      don't fold (interval preintegrated by the caller or absent).
+    S8: padded sample count of the merged interval-8+9 buffer for the
+      MARGIN_SECOND_NEW splice (reference: estimator.cpp:1567-1652); 0 =
+      no splice fold."""
     opts = SolveOptions(max_iters=max_iters)
 
-    def step(st0, pres, ivalid, feats_pad, prior, free_mask, gravity, calib):
+    def _fold_preint(raw, pres, slot, ba, bg, rho, params):
+        """In-program il_preintegrate of a raw padded buffer, threading the
+        adaptive foot-force tracker from the previous interval's preint
+        (ILPreint.ff_* docstring; prev slot's zero placeholder reproduces
+        the cold start the eager path used when prev was None)."""
+        prev = pres[slot - 1]
+        ff = (prev.ff_min, prev.ff_max, prev.ff_window, prev.ff_idx)
+        return il_preintegrate(
+            raw["dt"], raw["acc"], raw["gyr"], raw["phi"], raw["dphi"],
+            raw["c"], raw["mask"], ba, bg, rho, params, ff_init=ff)
+
+    def step(st0, pres, ivalid, feats_pad, prior, free_mask, gravity, calib,
+             raw9, raw8, params):
+        params = params._replace(contact_sensor_type=ct)
         dtype = st0.p.dtype
+        pre9 = None
+        if S9:
+            pre9 = _fold_preint(raw9, pres, 9, st0.ba[9], st0.bg[9],
+                                st0.rho[9], params)
+            pres = tuple(pres[:9]) + (pre9,)
         data = build_window_data(
             pres, ivalid, feats_pad, prior, free_mask, gravity, calib,
             use_leg_odom=use_leg_odom, cov_jitter=1e-14, dtype=dtype)
@@ -113,22 +143,31 @@ def _streaming_kernel(max_iters: int, mode: str, use_leg_odom: bool,
         # a host round-trip
         gate = data.f_valid & (errs * C.FOCAL_LENGTH > 3.0)
         data2 = data._replace(f_valid=data.f_valid & ~gate)
-        if mode == "none":
-            return st, info, errs
-        if mode == "old":
-            pj, pr, valid = marg.marginalize_old(st, data2)
-            lin = _shift_state(st)
-        else:
-            pj, pr, valid = marg.marginalize_second_new(st, data2)
-            lin = _shift_state_second_new(st)
-        if not marg_td_info:
-            pj = pj.at[:, fac.TD_OFF].set(0.0)
-        # fold validity in-device (zeroed prior == skipped prior, reference
-        # estimator.cpp:1107) — bool(valid) would block the host on the
-        # whole program
-        pj = jnp.where(valid, pj, 0.0)
-        pr = jnp.where(valid, pr, 0.0)
-        return st, info, errs, (pj, pr, lin, valid)
+        out = dict(st=st, info=info, errs=errs)
+        if pre9 is not None:
+            out["pre9"] = pre9
+        if mode != "none":
+            if mode == "old":
+                pj, pr, valid = marg.marginalize_old(st, data2)
+                lin = _shift_state(st)
+            else:
+                pj, pr, valid = marg.marginalize_second_new(st, data2)
+                lin = _shift_state_second_new(st)
+            if not marg_td_info:
+                pj = pj.at[:, fac.TD_OFF].set(0.0)
+            # fold validity in-device (zeroed prior == skipped prior,
+            # reference estimator.cpp:1107) — bool(valid) would block the
+            # host on the whole program
+            pj = jnp.where(valid, pj, 0.0)
+            pr = jnp.where(valid, pr, 0.0)
+            out["prior"] = (pj, pr, lin, valid)
+        if S8:
+            # spliced interval 8+9 re-preintegration at the SOLVED frame-8
+            # linearization (the eager _slide_new used post-adopt values —
+            # identical numbers)
+            out["pre8m"] = _fold_preint(raw8, pres, 8, st.ba[8], st.bg[8],
+                                        st.rho[8], params)
+        return out
 
     return jax.jit(step)
 
@@ -329,8 +368,21 @@ class Estimator:
             cw[12] = 1.0 / cfg.td_prior_sigma
         ric_ref, tic_ref = cfg.ric_tic(n=2)
         qic_ref = np.stack([_rot_to_quat_np(ric_ref[i]) for i in range(2)])
-        self._calib = (tic_ref, qic_ref, cfg.td, cw)
+        self._calib_base = (tic_ref, qic_ref, cw)
         self._gravity = np.array([0.0, 0.0, cfg.g_norm])
+
+    @property
+    def _calib(self):
+        """Calibration prior for the solve. Extrinsics anchor at the
+        factory calibration (an absolute measurement the config carries);
+        td anchors at the RUNNING estimate — a per-solve damper, not an
+        absolute anchor. The reference has no absolute td prior at all (td
+        is a free Ceres block, estimator.cpp:1097-1105); anchoring at
+        cfg.td biased a mis-set initial offset: a +20 ms td error
+        converged to only ~3 ms with the fixed anchor (1.5% drift) vs
+        ~0 ms with the damper."""
+        tic_ref, qic_ref, cw = self._calib_base
+        return (tic_ref, qic_ref, self.td, cw)
 
     # ------------------------------------------------------------------
     def input_imu_leg(self, t, acc, gyr, phi, dphi, contact):
@@ -401,8 +453,23 @@ class Estimator:
         # by the CHANGE (td - cur_td) since registration.
         if fc > 0:
             k = fc - 1 if self.solver_flag == self.INITIAL else 9
-            self._close_interval(k, t + self.td)
-            if self.cfg.use_imu:
+            self._close_interval(
+                k, t + self.td,
+                defer_preint=(self.solver_flag == self.NON_LINEAR
+                              and self.cfg.use_imu))
+            stale = self.cfg.use_imu and self._imu_stale(self.buffers[k])
+            if stale:
+                # hung IMU driver (identical consecutive samples — a real
+                # IMU's noise floor makes exact repeats impossible):
+                # dead-reckoning and the IMU+leg factor would integrate
+                # confidently-wrong data, so the interval's inertial factor
+                # is dropped and the frame rides vision (PnP fallback) —
+                # the reference has no such guard and integrates the hang.
+                self.stats["stale_imu_intervals"] = \
+                    self.stats.get("stale_imu_intervals", 0) + 1
+                if self.solver_flag != self.NON_LINEAR:
+                    self.preints[k] = None
+            elif self.cfg.use_imu:
                 self._propagate_frame(k)
             else:
                 # no dead-reckoning available: seed with previous pose,
@@ -481,12 +548,41 @@ class Estimator:
             st0 = self._window_state(depths)
             mode = ("old" if margin_flag == MARGIN_OLD
                     else ("new" if self.prior is not None else "none"))
+            # newest-interval raw samples, preintegrated IN the kernel
+            # (defer_preint path of _close_interval)
+            raw9 = raw8 = None
+            stale9 = self.cfg.use_imu and self._imu_stale(self.buffers[9])
+            if self.cfg.use_imu and self.preints[9] is None \
+                    and self.buffers[9] is not None and not stale9:
+                raw9 = self._pad_buffer(self.buffers[9])
+            if mode != "old" and self.cfg.use_imu and not stale9:
+                # splice buffer for the post-solve MARGIN_SECOND_NEW slide
+                # (reference: estimator.cpp:1567-1652), re-preintegrated in
+                # the same program at the solved frame-8 linearization
+                b8, b9 = self.buffers[8], self.buffers[9]
+                if b8 is not None and b9 is not None and len(b8) \
+                        and len(b9):
+                    merged = IntervalBuffer()
+                    for i in range(len(b8)):
+                        merged.append(b8.t[i], b8.acc[i], b8.gyr[i],
+                                      b8.phi[i], b8.dphi[i], b8.c[i])
+                    for i in range(1, len(b9)):
+                        merged.append(b9.t[i], b9.acc[i], b9.gyr[i],
+                                      b9.phi[i], b9.dphi[i], b9.c[i])
+                    self._merged_buffer = merged
+                    raw8 = self._pad_buffer(merged)
+            S9 = 0 if raw9 is None else len(raw9["dt"])
+            S8 = 0 if raw8 is None else len(raw8["dt"])
             kernel = _streaming_kernel(self.cfg.max_num_iterations, mode,
                                        self.cfg.use_leg_odom,
-                                       self.cfg.marg_td_info)
+                                       self.cfg.marg_td_info,
+                                       self.cfg.contact_sensor_type, S9, S8)
             pres, ivalid = coerce_preints(
                 self.preints if self.cfg.use_imu else [None] * 10,
                 self.dtype)
+            if S9:
+                ivalid = ivalid.copy()
+                ivalid[9] = True
             prior_t = self.prior if self.prior is not None \
                 else zero_prior(self.F, self.dtype)
             free_mask = self._free_mask()
@@ -503,16 +599,17 @@ class Estimator:
                           f"argmax dim {j} = {dx[j]:.2e}")
             t1 = time.time()
             out = kernel(st0, pres, ivalid, feats_pad, prior_t, free_mask,
-                         self._gravity, self._calib)
+                         self._gravity, self._calib, raw9, raw8, self.params)
             self.stats["dispatches"] = self.stats.get("dispatches", 0) + 1
-            if mode == "none":
-                st, info, errs_d = out
-                prior_out = None
-            else:
-                st, info, errs_d, prior_out = out
+            prior_out = out.get("prior")
+            # the in-kernel preints stay device-resident for the next frame
+            if "pre9" in out:
+                self.preints[9] = out["pre9"]
+            pre8m = out.get("pre8m")
             # ONE batched D2H (tunnel-friendly): state + outlier scores +
             # solve info; the new prior never leaves the device
-            st_np, errs, info = jax.device_get((st, errs_d, info))
+            st_np, errs, info = jax.device_get((out["st"], out["errs"],
+                                                out["info"]))
             self.stats["solve_only_time"] = \
                 self.stats.get("solve_only_time", 0.0) + (time.time() - t1)
             self._adopt(st_np, slots, feats_d)
@@ -540,16 +637,19 @@ class Estimator:
 
             self._predict_next_frame()
             if self.failure_detection():
-                # system reboot (reference: estimator.cpp:823-831)
+                # system reboot (reference: estimator.cpp:823-831), with
+                # pose continuity: the restarted estimator continues from
+                # the last published pose (see _rebase_world)
                 self.stats["reboots"] += 1
                 if self.metrics is not None:
                     self.metrics.log("reboot", t=float(t),
                                      count=self.stats["reboots"])
+                self._rebase_world()
                 self.clear_state()
                 return
             if prior_out is not None:
                 self.prior = prior_out
-            self._emit_keyframe_and_slide(margin_flag)
+            self._emit_keyframe_and_slide(margin_flag, pre8m=pre8m)
             self.fm.remove_failures()
         self._update_latest(t)
 
@@ -568,10 +668,14 @@ class Estimator:
         R0 = np.asarray(lie.g_to_rot(jnp.asarray(acc_mean)))
         self.q[0] = _rot_to_quat_np(R0)
 
-    def _close_interval(self, k: int, t_img):
+    def _close_interval(self, k: int, t_img, defer_preint: bool = False):
         """Move the samples spanning (prev image, this image] into interval
         k's buffer and preintegrate (reference: getIMUAndLegInterval,
-        estimator.cpp:303-397)."""
+        estimator.cpp:303-397).
+
+        defer_preint: streaming path — leave preints[k] unset; the fused
+        per-frame kernel preintegrates the raw buffer in-program (one
+        dispatch per frame instead of two)."""
         rows = self.sync.extract(self.prev_img_t, t_img)
         self.prev_img_t = t_img
         buf = IntervalBuffer()
@@ -580,25 +684,42 @@ class Estimator:
                 buf.append(r[0], r[1:4], r[4:7], r[7:19], r[19:31],
                            r[31:35])
         self.buffers[k] = buf
-        self.preints[k] = self._run_preint(buf, self.ba[k], self.bg[k],
-                                           self.rho[k],
-                                           prev=self.preints[k - 1]
-                                           if k > 0 else None)
+        if defer_preint:
+            self.preints[k] = None
+        else:
+            self.preints[k] = self._run_preint(buf, self.ba[k], self.bg[k],
+                                               self.rho[k],
+                                               prev=self.preints[k - 1]
+                                               if k > 0 else None)
 
-    def _run_preint(self, buf: IntervalBuffer, ba, bg, rho, prev=None):
-        """prev: the previous interval's ILPreint — its final adaptive
-        foot-force tracker state seeds this interval (contact model 2; see
-        ILPreint.ff_* docstring). None = cold start."""
+    @staticmethod
+    def _imu_stale(buf: IntervalBuffer | None, frac: float = 0.25) -> bool:
+        """True if more than `frac` of the interval's consecutive IMU
+        sample pairs are bitwise identical (acc AND gyr) — the signature of
+        a hung driver repeating its last reading; a live IMU's noise floor
+        makes exact repeats impossible."""
+        if buf is None or len(buf) < 4:
+            return False
+        acc = np.asarray(buf.acc)
+        gyr = np.asarray(buf.gyr)
+        rep = np.all(acc[1:] == acc[:-1], axis=1) \
+            & np.all(gyr[1:] == gyr[:-1], axis=1)
+        return float(np.mean(rep)) > frac
+
+    def _pad_buffer(self, buf: IntervalBuffer):
+        """Pad a raw interval buffer into fixed-size numpy arrays.
+
+        Returns dict(dt, acc, gyr, phi, dphi, c, mask) with leading dim S
+        (a size bucket), or None if the buffer holds < 2 samples. The
+        preintegration scan is SEQUENTIAL, so its padded length sits
+        directly on the streaming latency path. A normal 15 Hz interval
+        holds ~34 samples (bucket 48); only the MARGIN_SECOND_NEW splice
+        (~67) needs the full capacity. jit specializes per bucket, so this
+        costs one extra compile, not a recompile per length."""
         n = len(buf)
         if n < 2:
             return None
         n = min(n, self.S)
-        # size buckets: the preintegration scan is SEQUENTIAL, so its padded
-        # length sits directly on the streaming latency path. A normal
-        # 15 Hz interval holds ~34 samples (bucket 48); only the
-        # MARGIN_SECOND_NEW splice (~67) needs the full capacity. jit
-        # specializes per bucket, so this costs one extra compile, not a
-        # recompile per length.
         S = next((b for b in (48, self.S) if n <= b and b <= self.S), self.S)
         dt = np.zeros(S)
         arr = {k: np.zeros((S,) + np.asarray(getattr(buf, k)[0]).shape)
@@ -611,13 +732,23 @@ class Estimator:
             arr[key][n:] = arr[key][n - 1]
         mask = np.zeros(S, bool)
         mask[1:n] = True
+        return dict(dt=dt, mask=mask, **arr)
+
+    def _run_preint(self, buf: IntervalBuffer, ba, bg, rho, prev=None):
+        """prev: the previous interval's ILPreint — its final adaptive
+        foot-force tracker state seeds this interval (contact model 2; see
+        ILPreint.ff_* docstring). None = cold start."""
+        raw = self._pad_buffer(buf)
+        if raw is None:
+            return None
         self.stats["dispatches"] = self.stats.get("dispatches", 0) + 1
         ff_init = (None if prev is None else
                    (prev.ff_min, prev.ff_max, prev.ff_window, prev.ff_idx))
         return self._preint(
-            jnp.asarray(dt), jnp.asarray(arr["acc"]), jnp.asarray(arr["gyr"]),
-            jnp.asarray(arr["phi"]), jnp.asarray(arr["dphi"]),
-            jnp.asarray(arr["c"]), jnp.asarray(mask),
+            jnp.asarray(raw["dt"]), jnp.asarray(raw["acc"]),
+            jnp.asarray(raw["gyr"]), jnp.asarray(raw["phi"]),
+            jnp.asarray(raw["dphi"]), jnp.asarray(raw["c"]),
+            jnp.asarray(raw["mask"]),
             jnp.asarray(ba), jnp.asarray(bg), jnp.asarray(rho),
             ff_init=ff_init)
 
@@ -724,7 +855,7 @@ class Estimator:
             preints, feats, prior=self.prior,
             free_mask=self._free_mask(init),
             gravity=(0, 0, self.cfg.g_norm), F=self.F, dtype=self.dtype,
-            calib_prior=(tic_ref, qic_ref, self.cfg.td, cw),
+            calib_prior=(tic_ref, qic_ref, self.td, cw),  # td damper: see _calib
             use_leg_odom=self.cfg.use_leg_odom)
         depths = self.fm.depth_vector(slots)
         return data, feats, slots, depths
@@ -906,9 +1037,13 @@ class Estimator:
             self.prior = (pj, pr, lin, valid)
         self._emit_keyframe_and_slide(margin_flag)
 
-    def _emit_keyframe_and_slide(self, margin_flag):
+    def _emit_keyframe_and_slide(self, margin_flag, pre8m=None):
         """Host half of the post-solve: keyframe export for the loop
-        back-end, then the window slide."""
+        back-end, then the window slide.
+
+        pre8m: spliced interval-8+9 preint already computed inside the
+        streaming kernel (device-resident); None = eager path,
+        _slide_new re-preintegrates on host dispatch."""
         if margin_flag == MARGIN_OLD:
             if self.keyframe_callback is not None:
                 # emit the frame leaving the window: final refined pose, its
@@ -932,7 +1067,7 @@ class Estimator:
                                        self.q[0].copy(), ids, obs)
             self._slide_old()
         else:
-            self._slide_new()
+            self._slide_new(pre8m=pre8m)
 
     def _slide_old(self):
         p0_old = self.p[0].copy()
@@ -947,22 +1082,34 @@ class Estimator:
         self.buffers = self.buffers[1:] + [None]
         self.preints = self.preints[1:] + [None]
 
-    def _slide_new(self):
+    def _slide_new(self, pre8m=None):
         """Merge interval 8 and 9 (splice frame-10 samples into frame 9;
-        reference: estimator.cpp:1567-1652)."""
+        reference: estimator.cpp:1567-1652).
+
+        pre8m: merged preint already computed in the streaming kernel (at
+        the same solved frame-8 linearization) — adopt it instead of
+        dispatching a re-preintegration."""
         b8, b9 = self.buffers[8], self.buffers[9]
-        if b8 is not None and b9 is not None:
-            merged = IntervalBuffer()
-            for i in range(len(b8)):
-                merged.append(b8.t[i], b8.acc[i], b8.gyr[i], b8.phi[i],
-                              b8.dphi[i], b8.c[i])
-            for i in range(1, len(b9)):  # skip shared boundary sample
-                merged.append(b9.t[i], b9.acc[i], b9.gyr[i], b9.phi[i],
-                              b9.dphi[i], b9.c[i])
+        if b8 is not None and b9 is not None and len(b8) and len(b9):
+            if pre8m is not None:
+                merged = self._merged_buffer  # built at the kernel call
+            else:
+                merged = IntervalBuffer()
+                for i in range(len(b8)):
+                    merged.append(b8.t[i], b8.acc[i], b8.gyr[i], b8.phi[i],
+                                  b8.dphi[i], b8.c[i])
+                for i in range(1, len(b9)):  # skip shared boundary sample
+                    merged.append(b9.t[i], b9.acc[i], b9.gyr[i], b9.phi[i],
+                                  b9.dphi[i], b9.c[i])
             self.buffers[8] = merged
-            self.preints[8] = self._run_preint(merged, self.ba[8], self.bg[8],
-                                               self.rho[8],
-                                               prev=self.preints[7])
+            if pre8m is not None:
+                self.preints[8] = pre8m
+            elif self._imu_stale(merged):
+                self.preints[8] = None  # hung-IMU samples: drop the factor
+            else:
+                self.preints[8] = self._run_preint(
+                    merged, self.ba[8], self.bg[8], self.rho[8],
+                    prev=self.preints[7])
         elif b9 is not None:
             self.buffers[8] = b9
             self.preints[8] = self.preints[9]
@@ -987,14 +1134,55 @@ class Estimator:
                            bg=self.bg[i].copy(), acc=acc, gyr=gyr)
 
     # ------------------------------------------------------------------
+    def _rebase_world(self):
+        """Reboot pose continuity: before clear_state wipes the window,
+        fold the last published pose into a persistent world offset so the
+        re-initialized estimator (gravity-aligned, zero yaw, at origin —
+        initFirstIMUPose semantics) continues the trajectory instead of
+        teleporting to the origin. The reference's clearState restart
+        (estimator.cpp:823-831) loses the world frame; for an odometry
+        product the output must stay continuous across recoveries. Both the
+        old and new frames are gravity-aligned, so the offset composes a
+        yaw-only rotation with a translation.
+
+        Anchors at the last pose that PASSED failure detection (the pose
+        that tripped it is by definition corrupted)."""
+        if getattr(self, "_last_pose", None) is not None:
+            p_raw, q_raw = self._last_pose
+        else:
+            i = min(self.frame_count, NF - 1)
+            p_raw, q_raw = self.p[i], self.q[i]
+        off = getattr(self, "_world_offset", None)
+        if off is None:
+            p_pub = np.asarray(p_raw, float)
+            q_pub = np.asarray(q_raw, float)
+        else:
+            p_off0, R_off0, q_off0 = off
+            p_pub = R_off0 @ p_raw + p_off0
+            q_pub = _quat_mul_np(q_off0, q_raw)
+        yaw = np.arctan2(
+            2 * (q_pub[0] * q_pub[3] + q_pub[1] * q_pub[2]),
+            1 - 2 * (q_pub[2] ** 2 + q_pub[3] ** 2))
+        c, s = np.cos(yaw), np.sin(yaw)
+        R_off = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+        q_off = np.array([np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2)])
+        self._world_offset = (np.asarray(p_pub, float), R_off, q_off)
+
     @property
     def pose(self):
         i = min(self.frame_count, NF - 1)
-        return self.p[i].copy(), self.q[i].copy()
+        off = getattr(self, "_world_offset", None)
+        if off is None:
+            return self.p[i].copy(), self.q[i].copy()
+        p_off, R_off, q_off = off
+        return (R_off @ self.p[i] + p_off,
+                _quat_mul_np(q_off, self.q[i]))
 
     @property
     def velocity(self):
-        return self.v[min(self.frame_count, NF - 1)].copy()
+        v = self.v[min(self.frame_count, NF - 1)].copy()
+        off = getattr(self, "_world_offset", None)
+        return v if off is None else off[1] @ v
 
 
 def _cost_breakdown(st: fac.WindowState, data: fac.WindowData, F: int):

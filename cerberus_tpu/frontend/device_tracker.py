@@ -111,10 +111,10 @@ class DeviceTracker:
             right = {}
         else:
             pts, valid, guess, prio = self._pad_slots()
+            img0_d = jnp.asarray(img0_u8)
             out = klt.track_frame(
-                self.prev_pyr, jnp.asarray(img0_u8),
-                jnp.asarray(self._u8(img1)) if stereo
-                else jnp.asarray(img0_u8),
+                self.prev_pyr, img0_d,
+                jnp.asarray(self._u8(img1)) if stereo else img0_d,
                 jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(guess),
                 jnp.asarray(prio), levels=self.levels, half=self.half,
                 iters=self.iters, min_dist=self.min_dist,

@@ -32,9 +32,10 @@ class LoopCloser:
 
     def __init__(self, cfg=None, focal: float = 460.0, cx: float = 320.0,
                  cy: float = 240.0, min_matches: int = 12,
-                 min_sim: float = 0.60, exclude_last: int = 40,
+                 min_sim: float = 0.50, exclude_last: int = 40,
                  optimize_every: int = 10, min_kf_dist: float = 0.25,
-                 min_kf_yaw: float = 0.2):
+                 min_kf_yaw: float = 0.2, seq_window: int = 5,
+                 seq_radius: int = 8, strong_sim: float = 0.90):
         # min_sim gates only the PROPOSAL; every candidate still has to
         # survive mutual-best ZNCC patch matching and RANSAC PnP before an
         # edge is added, so a permissive default is safe (0.85 found zero
@@ -70,8 +71,19 @@ class LoopCloser:
         self.kf_skipped = 0
         self.loops_found = 0
         self.loops_rejected = 0
+        self.seq_gated = 0     # candidates dropped by sequence consistency
         self.best_sim = -1.0   # max place-recognition score seen (diagnostic)
         self._since_opt = 0
+        # sequence-consistency gate (VINS pose_graph-style): a
+        # place-recognition candidate is only verified geometrically if a
+        # RECENT keyframe also retrieved a nearby old node (within
+        # seq_radius nodes, over the last seq_window keyframes), or its
+        # similarity alone is overwhelming (>= strong_sim). Lets min_sim
+        # sit lower (more recall) without admitting isolated aliases.
+        self.seq_window = seq_window
+        self.seq_radius = seq_radius
+        self.strong_sim = strong_sim
+        self._recent_cands: list[tuple[int, int]] = []  # (db_idx, old_idx)
 
     # ------------------------------------------------------------------
     def add_keyframe(self, t, p, q, ids, obs: dict, img: np.ndarray | None):
@@ -110,7 +122,20 @@ class LoopCloser:
             if cand is not None:
                 self.best_sim = max(self.best_sim, cand[1])
                 if cand[1] >= self.min_sim:
-                    self._try_close(cand[0], rec, sim=cand[1])
+                    db_idx = len(self.db)
+                    consistent = any(
+                        db_idx - i <= self.seq_window
+                        and abs(cand[0] - o) <= self.seq_radius
+                        for i, o in self._recent_cands)
+                    self._recent_cands.append((db_idx, cand[0]))
+                    self._recent_cands = [
+                        (i, o) for i, o in self._recent_cands
+                        if db_idx - i <= self.seq_window]
+                    if consistent or cand[1] >= self.strong_sim:
+                        self._try_close(cand[0], rec, sim=cand[1],
+                                        seq_consistent=consistent)
+                    else:
+                        self.seq_gated += 1
         else:
             self.index.add(np.zeros(desc.TINY_H * desc.TINY_W, np.float32))
             rec["descs"] = np.zeros((len(fids), desc.PATCH_DIM), np.float32)
@@ -138,12 +163,18 @@ class LoopCloser:
         frac = (hi - sim) / max(hi - self.min_sim, 1e-9)
         return int(round(self.min_matches * (1.0 + min(frac, 1.0))))
 
-    def _try_close(self, old_idx: int, rec: dict, sim: float = 1.0):
+    def _try_close(self, old_idx: int, rec: dict, sim: float = 1.0,
+                   seq_consistent: bool = False):
         """Verify a place-recognition candidate: patch matching + RANSAC PnP
         of the NEW keyframe against the OLD keyframe's 3D points, then add a
-        measured relative-pose edge."""
+        measured relative-pose edge.
+
+        seq_consistent: the candidate already carries temporal evidence
+        (a neighboring keyframe retrieved a nearby node), so the
+        weak-similarity match-count escalation is waived."""
         old = self.db[old_idx]
-        need = self._required_matches(sim)
+        need = self.min_matches if seq_consistent \
+            else self._required_matches(sim)
         i_new, i_old = desc.match_patches(rec["descs"], rec["ok"],
                                           old["descs"], old["ok"])
         if len(i_new) < need:
@@ -172,6 +203,10 @@ class LoopCloser:
         rel_yaw = yaw_meas - self.pg.yaw[i]
         self.pg.add_loop_edge(i, j, rel_p=rel_p, rel_yaw=rel_yaw, weight=20.0)
         self.loops_found += 1
+        # optimize on every accepted loop (the reference's loop_fusion is an
+        # always-on corrector, not a batch post-processor)
+        self.pg.optimize()
+        self._since_opt = 0
 
     # ------------------------------------------------------------------
     def finish(self):

@@ -54,6 +54,22 @@ class PreintParams(NamedTuple):
     v_n_term1_steep: jax.Array
     v_n_term2_var_rescale: jax.Array
     v_n_term3_distance_rescale: jax.Array
+    # LO-consistency guard for contact models 0/1: adds
+    # lo_guard * (v_leg - v_ref)^2 to the per-leg velocity variance, where
+    # v_ref is an EMA of the fused leg-odometry velocity — so a leg whose
+    # kinematic velocity disagrees with the recent four-leg CONSENSUS is
+    # downweighted EVEN IF its contact flag claims stance. The reference
+    # applies a distance term only in its force-sigmoid model and compares
+    # against delta_v (imu_leg_integration_base.cpp:300-317) — but delta_v
+    # integrates gravity (~0.65 m/s over a 15 Hz interval), so that
+    # comparison is only symbolic at its 1e-3 weight; at guard strength it
+    # suppresses everything including the rho-calibration signal (measured:
+    # rho stalls). The consensus reference keeps rho/slip signals (~0.01
+    # m/s shared deviations) while a mis-flagged swing leg (~0.5-1 m/s
+    # deviation) is inflated 25-100x (measured: 19.9% -> ~3% drift over
+    # 60 s with 10 x 0.3 s inverted-flag bursts; 0 disables and restores
+    # exact reference semantics).
+    lo_guard: jax.Array = 0.0
     contact_sensor_type: int = 0   # static: selects the contact model branch
 
     @staticmethod
@@ -74,6 +90,7 @@ class PreintParams(NamedTuple):
             v_n_term1_steep=f(n.v_n_term1_steep),
             v_n_term2_var_rescale=f(n.v_n_term2_var_rescale),
             v_n_term3_distance_rescale=f(n.v_n_term3_distance_rescale),
+            lo_guard=f(n.contact_lo_guard_rescale),
             contact_sensor_type=cfg.contact_sensor_type,
         )
 
@@ -270,6 +287,8 @@ class _ILCarry(NamedTuple):
     ff_idx: jax.Array     # (4,) int32 ring index
     contact_flag: jax.Array          # (4,)
     integration_contact: jax.Array   # (4,) bool
+    lo_ref: jax.Array     # (3,) EMA of fused LO velocity (lo_guard ref)
+    lo_ref_w: jax.Array   # () ref validity ramp in [0, 1]
 
 
 def _leg_velocities(dq, phi, dphi, gyr_unbiased, rho, params: PreintParams):
@@ -334,6 +353,7 @@ def il_init_carry(acc_0, gyr_0, phi_0, dphi_0, c_0,
         ff_idx=jnp.asarray(ff_init[3], jnp.int32),
         contact_flag=jnp.zeros(4, dtype),
         integration_contact=jnp.ones(4, dtype=bool),
+        lo_ref=jnp.zeros(3, dtype), lo_ref_w=jnp.zeros((), dtype),
     )
 
 
@@ -397,6 +417,11 @@ def il_step_full(carry: _ILCarry, inp, ba, bg, rho, params: PreintParams):
         n_xy = params.v_n_max * (1 - contact) + contact * params.v_n_min_xy
         n_z = params.v_n_max * (1 - contact) + contact * params.v_n_min_z
         uncertainties = jnp.stack([n_xy, n_xy, n_z], axis=1)      # (4, 3)
+        # LO-consistency guard (see PreintParams.lo_guard): downweight legs
+        # whose kinematic velocity disagrees with the recent fused-LO
+        # consensus (EMA carried in lo_ref; inactive until the ramp fills)
+        uncertainties = uncertainties + params.lo_guard * carry.lo_ref_w \
+            * (lo_vel - carry.lo_ref[None, :]) ** 2
     else:
         n1 = params.v_n_max * (1 - contact) + params.v_n_min      # (4,)
         n2 = params.v_n_term2_var_rescale * ff_var                # (4,)
@@ -411,6 +436,13 @@ def il_step_full(carry: _ILCarry, inp, ba, bg, rho, params: PreintParams):
     weight = jnp.maximum(weight, 0.001)
     avg_deps = jnp.sum(weight * lo_vel, axis=0) * dt / jnp.sum(weight, axis=0)
     sum_deps_new = carry.sum_deps + avg_deps
+    # lo_guard consensus reference: EMA of the fused LO velocity (time
+    # constant ~5 samples at 500 Hz, tracks 2 Hz trot oscillation), with a
+    # ramp so the guard stays off for the interval's first few samples
+    alpha = jnp.asarray(0.2, dtype)
+    lo_ref_new = (1 - alpha) * carry.lo_ref \
+        + alpha * (avg_deps / jnp.maximum(dt, 1e-9))
+    lo_ref_w_new = jnp.minimum(carry.lo_ref_w + 0.2, 1.0)
 
     # all-feet-airborne: leg residuals get ~infinite noise
     airborne = jnp.sum(contact) < 1e-6
@@ -509,6 +541,7 @@ def il_step_full(carry: _ILCarry, inp, ba, bg, rho, params: PreintParams):
         acc_0=acc_1, gyr_0=gyr_1, phi_0=phi_1, dphi_0=dphi_1, c_0=c_1,
         ff_min=ff_min, ff_max=ff_max, ff_window=ff_window, ff_idx=ff_idx,
         contact_flag=contact, integration_contact=integration_contact,
+        lo_ref=lo_ref_new, lo_ref_w=lo_ref_w_new,
     )
     out = jax.tree.map(lambda a, b: jnp.where(valid, a, b), new, carry)
     return out, F, V, noise

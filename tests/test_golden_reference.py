@@ -68,7 +68,11 @@ def make_cfg(contact_sensor_type):
     cfg = EstimatorConfig(contact_sensor_type=contact_sensor_type)
     robot = dataclasses.replace(
         cfg.robot, p_br=tuple(P_BR), R_br=tuple(map(tuple, R_BR)))
-    return dataclasses.replace(cfg, robot=robot)
+    # contact_lo_guard_rescale=0 restores EXACT reference noise semantics
+    # for binary contact models (the guard is an intentional deviation —
+    # see PreintParams.lo_guard; its behavior has its own test below)
+    noise = dataclasses.replace(cfg.noise, contact_lo_guard_rescale=0.0)
+    return dataclasses.replace(cfg, robot=robot, noise=noise)
 
 
 def golden_params(cfg):
@@ -423,6 +427,43 @@ def test_il_residual_matches_golden(rng):
     r_e = ge.evaluate(si["p"], si["q"], si["v"], si["ba"], si["bg"], si["rho"],
                       sj["p"], sj["q"], sj["v"], sj["ba"], sj["bg"], sj["rho"], G)
     assert np.max(np.abs(r_i - r_e)) < 1e-6
+
+
+def test_il_lo_guard_downweights_inconsistent_leg(rng):
+    """The (intentional, non-reference) LO-consistency guard: with
+    contact_lo_guard_rescale > 0, a leg whose contact flag claims stance
+    but whose kinematic velocity disagrees with delta_v gets a larger
+    velocity variance than a consistent leg; with the guard at 0 the two
+    noise models are identical to the reference's (pinned above)."""
+    cfg0 = make_cfg(0)                       # guard off
+    cfg1 = dataclasses.replace(
+        cfg0, noise=dataclasses.replace(cfg0.noise,
+                                        contact_lo_guard_rescale=0.1))
+    stream = make_stream(rng, S=10, contact_sensor_type=0)
+    stream["c"][:] = 1.0                     # all legs claim stance
+    # make leg 0 kinematically violent: fast joint sweep
+    stream["dphi"][:, 0:3] *= 25.0
+    ba, bg, rho = np.zeros(3), np.zeros(3), np.full(4, 0.21)
+
+    for cfg, guard in ((cfg0, False), (cfg1, True)):
+        params = PreintParams.from_config(cfg)
+        j = lambda x: jnp.asarray(x, jnp.float64)
+        carry = il_init_carry(j(stream["acc"][0]), j(stream["gyr"][0]),
+                              j(stream["phi"][0]), j(stream["dphi"][0]),
+                              j(stream["c"][0]))
+        for k in range(1, len(stream["dt"])):
+            inp = (j(stream["dt"][k]), j(stream["acc"][k]),
+                   j(stream["gyr"][k]), j(stream["phi"][k]),
+                   j(stream["dphi"][k]), j(stream["c"][k]),
+                   jnp.asarray(True))
+            carry, F, V, noise = il_step_full(carry, inp, j(ba), j(bg),
+                                              j(rho), params)
+        leg0_var = float(noise[30])          # leg-0 velocity noise, x
+        leg1_var = float(noise[33])
+        if guard:
+            assert leg0_var > 50 * leg1_var, (leg0_var, leg1_var)
+        else:
+            assert abs(leg0_var - leg1_var) < 1e-12
 
 
 def test_il_eigen_vs_instep_immaterial(rng):
