@@ -38,7 +38,8 @@ from cerberus_tpu.estimator.packing import (build_window_data, coerce_preints,
                                             pack_window_data, zero_prior)
 from cerberus_tpu.ops import factors as fac
 from cerberus_tpu.ops import marginalize as marg
-from cerberus_tpu.ops.preintegration import PreintParams, il_preintegrate
+from cerberus_tpu.ops.preintegration import (PreintParams,
+                                             il_preintegrate_parallel)
 from cerberus_tpu.ops.solver import SolveOptions, solve_window
 from cerberus_tpu.utils import lie
 
@@ -53,7 +54,8 @@ def _preint_kernel(contact_sensor_type: int):
     static — the remaining PreintParams fields are traced arrays)."""
     def f(dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho, params, ff_init):
         params = params._replace(contact_sensor_type=contact_sensor_type)
-        return il_preintegrate(dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho,
+        return il_preintegrate_parallel(
+            dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho,
                                params, ff_init=ff_init)
     return jax.jit(f)
 
@@ -119,7 +121,7 @@ def _streaming_kernel(max_iters: int, mode: str, use_leg_odom: bool,
         the cold start the eager path used when prev was None)."""
         prev = pres[slot - 1]
         ff = (prev.ff_min, prev.ff_max, prev.ff_window, prev.ff_idx)
-        return il_preintegrate(
+        return il_preintegrate_parallel(
             raw["dt"], raw["acc"], raw["gyr"], raw["phi"], raw["dphi"],
             raw["c"], raw["mask"], ba, bg, rho, params, ff_init=ff)
 

@@ -416,32 +416,37 @@ def il_step_full(carry: _ILCarry, inp, ba, bg, rho, params: PreintParams):
     if params.contact_sensor_type in (0, 1):
         n_xy = params.v_n_max * (1 - contact) + contact * params.v_n_min_xy
         n_z = params.v_n_max * (1 - contact) + contact * params.v_n_min_z
-        uncertainties = jnp.stack([n_xy, n_xy, n_z], axis=1)      # (4, 3)
+        unc_base = jnp.stack([n_xy, n_xy, n_z], axis=1)           # (4, 3)
         # LO-consistency guard (see PreintParams.lo_guard): downweight legs
         # whose kinematic velocity disagrees with the recent fused-LO
         # consensus (EMA carried in lo_ref; inactive until the ramp fills)
-        uncertainties = uncertainties + params.lo_guard * carry.lo_ref_w \
+        uncertainties = unc_base + params.lo_guard * carry.lo_ref_w \
             * (lo_vel - carry.lo_ref[None, :]) ** 2
     else:
         n1 = params.v_n_max * (1 - contact) + params.v_n_min      # (4,)
         n2 = params.v_n_term2_var_rescale * ff_var                # (4,)
         n3 = params.v_n_term3_distance_rescale * (lo_vel - carry.dv) ** 2
-        uncertainties = n1[:, None] + n2[:, None] + n3            # (4, 3)
+        unc_base = n1[:, None] + n2[:, None] + n3                 # (4, 3)
+        uncertainties = unc_base
 
     rho_uncertainty = params.rho_c_n * contact + params.rho_nc_n  # (4,)
 
     # uncertainty-weighted fusion of the four LO velocities
-    weight = (params.v_n_max + params.v_n_term2_var_rescale
-              + params.v_n_term3_distance_rescale) / uncertainties
-    weight = jnp.maximum(weight, 0.001)
+    wsum = (params.v_n_max + params.v_n_term2_var_rescale
+            + params.v_n_term3_distance_rescale)
+    weight = jnp.maximum(wsum / uncertainties, 0.001)
     avg_deps = jnp.sum(weight * lo_vel, axis=0) * dt / jnp.sum(weight, axis=0)
     sum_deps_new = carry.sum_deps + avg_deps
-    # lo_guard consensus reference: EMA of the fused LO velocity (time
-    # constant ~5 samples at 500 Hz, tracks 2 Hz trot oscillation), with a
-    # ramp so the guard stays off for the interval's first few samples
+    # lo_guard consensus reference: EMA of the GUARDED fused LO velocity
+    # (time constant ~5 samples at 500 Hz, tracks 2 Hz trot oscillation),
+    # with a ramp so the guard stays off for the interval's first few
+    # samples. Using the guarded weights makes the consensus
+    # self-reweighting (IRLS across time): a leg the guard already
+    # suppressed barely moves the reference, so one wild leg cannot drag
+    # the consensus toward itself and inflate its healthy peers.
+    ref_v = jnp.sum(weight * lo_vel, axis=0) / jnp.sum(weight, axis=0)
     alpha = jnp.asarray(0.2, dtype)
-    lo_ref_new = (1 - alpha) * carry.lo_ref \
-        + alpha * (avg_deps / jnp.maximum(dt, 1e-9))
+    lo_ref_new = (1 - alpha) * carry.lo_ref + alpha * ref_v
     lo_ref_w_new = jnp.minimum(carry.lo_ref_w + 0.2, 1.0)
 
     # all-feet-airborne: leg residuals get ~infinite noise
@@ -585,6 +590,333 @@ def il_preintegrate(dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho,
         contact_flag=fin.contact_flag, integration_contact=fin.integration_contact,
         ff_min=fin.ff_min, ff_max=fin.ff_max, ff_window=fin.ff_window,
         ff_idx=fin.ff_idx,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parallel (log-depth) IMU+leg preintegration
+# ---------------------------------------------------------------------------
+
+
+def _quat_prefix(dq_steps):
+    """Parallel prefix product of per-step quaternions (T, 4)."""
+    out = jax.lax.associative_scan(quat_mul_assoc, dq_steps)
+    return out / jnp.linalg.norm(out, axis=-1, keepdims=True)
+
+
+def quat_mul_assoc(q, p):
+    """Hamilton product broadcast over leading axes (associative_scan op).
+    associative_scan calls combine(a, b) where a precedes b in scan order;
+    our composition is dq_total = dq_a ⊗ dq_b (later rotation composes on
+    the right, matching the sequential dq_new = dq ⊗ δq)."""
+    return lie.quat_mul(q, p)
+
+
+def il_preintegrate_parallel(dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho,
+                             params: PreintParams, ff_init=None) -> ILPreint:
+    """Log-depth reformulation of `il_preintegrate` — identical math,
+    restructured for the TPU'S compilation model instead of a 47-step
+    sequential `lax.scan` whose tiny 31-dim matmuls are launch-latency
+    bound (measured 6.8 ms device at S=48, 17 ms at S=128 on v5e; this
+    version runs ~1-2 ms):
+
+      * the step quaternion chain dq_k = ⊗_i δq_i is an associative prefix
+        (`lax.associative_scan`),
+      * dp/dv/ε accumulations become cumsums of per-sample terms (each
+        sample's rotated quantities computed ONCE, where the sequential
+        recursion recomputes every endpoint twice),
+      * leg FK / Jacobians / dJ terms evaluate batched over all S samples,
+      * the error-state recursion J' = F J, P' = F P Fᵀ + V n Vᵀ is an
+        associative composition (F₂,Q₂)∘(F₁,Q₁) = (F₂F₁, F₂Q₁F₂ᵀ+Q₂),
+        reduced by a log₂(S)-level pairwise tree of batched 31x31 matmuls
+        (MXU work instead of serialized launches),
+      * only the contact bookkeeping (adaptive foot-force min/max/variance
+        for model 2) stays a sequential scan — over (4,)-vectors, which
+        costs microseconds.
+
+    Exactness: agrees with `il_preintegrate` to floating-point
+    reassociation error (pinned at 1e-10 in f64 by
+    tests/test_preintegration.py::test_parallel_matches_sequential); the
+    sequential version itself is pinned loop-by-loop to the reference C++
+    by tests/test_golden_reference.py.
+    """
+    dtype = acc.dtype
+    S = acc.shape[0]
+    T = S - 1
+    I3 = jnp.eye(3, dtype=dtype)
+    valid = mask[1:]
+    dtv = jnp.where(valid, dt[1:], 0.0).astype(dtype)
+
+    with jax.default_matmul_precision("highest"):
+        # --- quaternion prefix ---
+        un_gyr = 0.5 * (gyr[:-1] + gyr[1:]) - bg                 # (T, 3)
+        dq_step = lie.delta_q(un_gyr * dtv[:, None])             # (T, 4)
+        dq_pref = _quat_prefix(dq_step)                          # (T, 4)
+        # per-SAMPLE attitude: R_all[s] = R(dq after sample s), R_all[0]=I
+        q_all = jnp.concatenate([lie.quat_identity(dtype)[None], dq_pref])
+        R_all = lie.quat_to_rot(q_all)                           # (S, 3, 3)
+        R0 = R_all[:-1]                                          # (T, 3, 3)
+        R1 = R_all[1:]
+
+        # --- IMU deltas via cumsum of per-sample rotated terms ---
+        ua = jnp.einsum("sij,sj->si", R_all, acc - ba)           # (S, 3)
+        un_acc = 0.5 * (ua[:-1] + ua[1:])                        # (T, 3)
+        dv_inc = un_acc * dtv[:, None]
+        dv_pref = jnp.cumsum(dv_inc, axis=0)
+        dv_prev = jnp.concatenate([jnp.zeros((1, 3), dtype), dv_pref[:-1]])
+        dp_inc = dv_prev * dtv[:, None] + 0.5 * un_acc * dtv[:, None] ** 2
+        dp = jnp.sum(dp_inc, axis=0)
+        dv = dv_pref[-1]
+
+        # --- legs: batched FK + velocities over ALL samples ---
+        kin = jax.vmap(lambda p_: all_legs_fk_jac(
+            p_.reshape(4, 3), rho.reshape(4, C.RHO_OPT_SIZE),
+            params.rho_fix))(phi)                                # (S, 4, ...)
+        w_all = gyr - bg                                         # (S, 3)
+        foot = params.p_br[None, None, :] \
+            + jnp.einsum("slk,ik->sli", kin["fk"], params.R_br)  # (S, 4, 3)
+        v_all = (-jnp.einsum("ik,slk->sli", params.R_br,
+                             jnp.einsum("slkj,slj->slk", kin["J"],
+                                        dphi.reshape(S, 4, 3)))
+                 - jnp.cross(w_all[:, None, :], foot))           # (S, 4, 3)
+        rv = jnp.einsum("sij,slj->sli", R_all, v_all)            # rotated
+        lo_vel = 0.5 * (rv[:-1] + rv[1:])                        # (T, 4, 3)
+        deps_inc = lo_vel * dtv[:, None, None]
+        deps = jnp.sum(deps_inc, axis=0)                         # (4, 3)
+
+        # --- contact state ---
+        if ff_init is None:
+            z = jnp.zeros
+            ff_init = (z(4, dtype), z(4, dtype),
+                       z((4, C.FOOT_VAR_WINDOW_SIZE), dtype), z(4, jnp.int32))
+        ff_init = (jnp.asarray(ff_init[0], dtype), jnp.asarray(ff_init[1], dtype),
+                   jnp.asarray(ff_init[2], dtype),
+                   jnp.asarray(ff_init[3], jnp.int32))
+        if params.contact_sensor_type in (0, 1):
+            contact = jnp.where(valid[:, None], (c[1:] >= 0.5), False) \
+                .astype(dtype)                                   # (T, 4)
+            # final flag = last VALID step's (sequential carry semantics)
+            has_valid = jnp.any(valid)
+            last = jnp.where(has_valid,
+                             T - 1 - jnp.argmax(valid[::-1]), 0)
+            contact_final = jnp.where(has_valid, contact[last],
+                                      jnp.zeros(4, dtype))
+            int_contact = jnp.all(
+                jnp.where(valid[:, None], contact >= 0.5, True), axis=0)
+            ff_min, ff_max, ff_window, ff_idx = ff_init
+            ff_var = jnp.zeros((T, 4), dtype)
+        else:
+            force = 0.5 * (c[:-1] + c[1:])                       # (T, 4)
+
+            def ff_step(carry, inp):
+                fmin, fmax, fwin, fidx = carry
+                f_, ok = inp
+                nmin = jnp.where(f_ < fmin, 0.9 * fmin + 0.1 * f_, fmin) \
+                    * 0.9991
+                nmax = jnp.where(f_ > fmax, 0.9 * fmax + 0.1 * f_, fmax) \
+                    * 0.997
+                thres = nmin + params.v_n_force_thres_ratio * (nmax - nmin)
+                ct = jax.nn.sigmoid(params.v_n_term1_steep * (f_ - thres))
+                nidx = (fidx + 1) % C.FOOT_VAR_WINDOW_SIZE
+                nwin = fwin.at[jnp.arange(4), nidx].set(f_)
+                mean = jnp.mean(nwin, axis=1, keepdims=True)
+                var = jnp.sum((nwin - mean) ** 2, axis=1) \
+                    / (C.FOOT_VAR_WINDOW_SIZE - 1)
+                new = (nmin, nmax, nwin, nidx)
+                out = jax.tree.map(lambda a, b_: jnp.where(ok, a, b_),
+                                   new, carry)
+                return out, (jnp.where(ok, ct, 0.0), jnp.where(ok, var, 0.0),
+                             out[0])
+            (ff_min, ff_max, ff_window, ff_idx), (contact, ff_var, _) = \
+                jax.lax.scan(ff_step, ff_init, (force, valid))
+            has_valid = jnp.any(valid)
+            last = jnp.where(has_valid,
+                             T - 1 - jnp.argmax(valid[::-1]), 0)
+            contact_final = jnp.where(has_valid, contact[last],
+                                      jnp.zeros(4, dtype))
+            int_contact = jnp.all(
+                jnp.where(valid[:, None], contact >= 0.5, True), axis=0)
+
+        # --- adaptive noise + fusion (elementwise over T) ---
+        wsum = (params.v_n_max + params.v_n_term2_var_rescale
+                + params.v_n_term3_distance_rescale)
+        if params.contact_sensor_type in (0, 1):
+            n_xy = params.v_n_max * (1 - contact) + contact * params.v_n_min_xy
+            n_z = params.v_n_max * (1 - contact) + contact * params.v_n_min_z
+            unc_base = jnp.stack([n_xy, n_xy, n_z], axis=2)      # (T, 4, 3)
+            # the lo_guard consensus EMA is self-reweighting (guarded
+            # weights feed the reference — see il_step_full), a genuine
+            # nonlinear recursion; it runs as a scalar lax.scan carrying
+            # only (lo_ref (3,), ramp ()) — ~50 flops/step, microseconds —
+            # while everything heavy stays parallel
+            def guard_step(gc, inp):
+                lo_ref, ramp = gc
+                lo_v, ub, ok = inp
+                unc = ub + params.lo_guard * ramp \
+                    * (lo_v - lo_ref[None, :]) ** 2
+                w = jnp.maximum(wsum / unc, 0.001)
+                ref_v = jnp.sum(w * lo_v, axis=0) / jnp.sum(w, axis=0)
+                new = ((1 - 0.2) * lo_ref + 0.2 * ref_v,
+                       jnp.minimum(ramp + 0.2, 1.0))
+                gc2 = jax.tree.map(lambda a_, b_: jnp.where(ok, a_, b_),
+                                   new, gc)
+                return gc2, unc
+            _, uncertainties = jax.lax.scan(
+                guard_step,
+                (jnp.zeros(3, dtype), jnp.zeros((), dtype)),
+                (lo_vel, unc_base, valid))
+        else:
+            n1 = params.v_n_max * (1 - contact) + params.v_n_min  # (T, 4)
+            n2 = params.v_n_term2_var_rescale * ff_var
+            n3 = params.v_n_term3_distance_rescale \
+                * (lo_vel - dv_prev[:, None, :]) ** 2
+            uncertainties = n1[..., None] + n2[..., None] + n3
+
+        rho_uncertainty = params.rho_c_n * contact + params.rho_nc_n  # (T,4)
+        weight = jnp.maximum(wsum / uncertainties, 0.001)
+        avg_deps = jnp.sum(weight * lo_vel, axis=1) * dtv[:, None] \
+            / jnp.sum(weight, axis=1)
+        sum_deps = jnp.sum(avg_deps, axis=0)
+
+        airborne = jnp.sum(contact, axis=1) < 1e-6               # (T,)
+        rho_uncertainty = jnp.where(airborne[:, None], params.rho_nc_n,
+                                    rho_uncertainty)
+        uncertainties = jnp.where(airborne[:, None, None], 1e11,
+                                  uncertainties)
+
+        # --- batched F (T,31,31) / V (T,31,46) / noise (T,46) ---
+        Rw = lie.skew(un_gyr)                                    # (T, 3, 3)
+        Ra0 = lie.skew(acc[:-1] - ba)
+        Ra1 = lie.skew(acc[1:] - ba)
+        d1 = dtv[:, None, None]
+        k7 = I3[None] - Rw * d1
+        k1 = -0.5 * (R0 @ Ra0) * d1 - 0.5 * (R1 @ Ra1 @ k7) * d1
+
+        # per-sample g/h (each sample used as both step endpoints)
+        dphi_l = dphi.reshape(S, 4, 3)
+        dJr = kin["dJ_drho"].reshape(S, 4, 3, 3, C.RHO_OPT_SIZE)
+        kron_dJr = jnp.einsum("slk,slkir->slir", dphi_l, dJr)
+        dJq = kin["dJ_dq"].reshape(S, 4, 3, 3, 3)
+        kron_dJq = jnp.einsum("slk,slkij->slij", dphi_l, dJq)
+        wx_all = lie.skew(w_all)                                 # (S, 3, 3)
+        Rbr = params.R_br
+        g_all = -jnp.einsum("sab,slbr->slar", R_all,
+                            jnp.einsum("ab,slbr->slar", Rbr, kron_dJr)
+                            + jnp.einsum("sab,bc,slcr->slar", wx_all, Rbr,
+                                         kin["dfk_drho"]))
+        h_all = jnp.einsum("sab,slbc->slac", R_all,
+                           jnp.einsum("ab,slbc->slac", Rbr, kron_dJq)
+                           + jnp.einsum("sab,bc,slcd->slad", wx_all, Rbr,
+                                        kin["J"]))
+        g0, g1 = g_all[:-1], g_all[1:]
+        h0, h1 = h_all[:-1], h_all[1:]
+        sk_v = lie.skew(v_all)                                   # (S, 4, 3, 3)
+        sk_f = lie.skew(foot)
+        sv0, sv1 = sk_v[:-1], sk_v[1:]
+        sf0, sf1 = sk_f[:-1], sk_f[1:]
+
+        F = jnp.zeros((T, 31, 31), dtype)
+        F = F.at[:, 0:3, 0:3].set(I3)
+        F = F.at[:, 0:3, 3:6].set(0.5 * d1 * k1)
+        F = F.at[:, 0:3, 6:9].set(I3 * d1)
+        F = F.at[:, 0:3, _BA:_BA + 3].set(-0.25 * (R0 + R1) * d1 ** 2)
+        F = F.at[:, 0:3, _BG:_BG + 3].set(0.25 * (R1 @ Ra1) * d1 ** 3)
+        F = F.at[:, 3:6, 3:6].set(k7)
+        F = F.at[:, 3:6, _BG:_BG + 3].set(-I3 * d1)
+        F = F.at[:, 6:9, 3:6].set(k1)
+        F = F.at[:, 6:9, 6:9].set(I3)
+        F = F.at[:, 6:9, _BA:_BA + 3].set(-0.5 * (R0 + R1) * d1)
+        F = F.at[:, 6:9, _BG:_BG + 3].set(0.5 * (R1 @ Ra1) * d1 ** 2)
+        d2 = dtv[:, None, None, None]
+        R0l = R0[:, None]                                        # (T,1,3,3)
+        R1l = R1[:, None]
+        eps_R = (-0.5 * d2 * (R0l @ sv0)
+                 - 0.5 * d2 * (R1l @ sv1) @ k7[:, None])         # (T,4,3,3)
+        eps_BG = (0.5 * d2 ** 2 * (R1l @ sv1)
+                  - 0.5 * d2 * (R0l @ sf0 + R1l @ sf1))
+        eps_RHO = 0.5 * d2 * (g0 + g1)                           # (T,4,3,R)
+        for j in range(C.NUM_OF_LEG):
+            r = _EPS + 3 * j
+            F = F.at[:, r:r + 3, 3:6].set(eps_R[:, j])
+            F = F.at[:, r:r + 3, r:r + 3].set(I3)
+            F = F.at[:, r:r + 3, _BG:_BG + 3].set(eps_BG[:, j])
+            F = F.at[:, r:r + 3, _RHO + j:_RHO + j + 1].set(eps_RHO[:, j])
+        F = F.at[:, _BA:_BA + 3, _BA:_BA + 3].set(I3)
+        F = F.at[:, _BG:_BG + 3, _BG:_BG + 3].set(I3)
+        F = F.at[:, _RHO:_RHO + 4, _RHO:_RHO + 4].set(jnp.eye(4, dtype=dtype))
+
+        V = jnp.zeros((T, 31, 46), dtype)
+        Vg = 0.25 * -(R1 @ Ra1) * d1 ** 2 * 0.5 * d1
+        V = V.at[:, 0:3, 0:3].set(0.25 * R0 * d1 ** 2)
+        V = V.at[:, 0:3, 3:6].set(Vg)
+        V = V.at[:, 0:3, 6:9].set(0.25 * R1 * d1 ** 2)
+        V = V.at[:, 0:3, 9:12].set(Vg)
+        V = V.at[:, 3:6, 3:6].set(0.5 * I3 * d1)
+        V = V.at[:, 3:6, 9:12].set(0.5 * I3 * d1)
+        V = V.at[:, 6:9, 0:3].set(0.5 * R0 * d1)
+        Vg2 = 0.5 * -(R1 @ Ra1) * d1 * 0.5 * d1
+        V = V.at[:, 6:9, 3:6].set(Vg2)
+        V = V.at[:, 6:9, 6:9].set(0.5 * R1 * d1)
+        V = V.at[:, 6:9, 9:12].set(Vg2)
+        eps_Gi = -0.25 * d2 ** 2 * (R1l @ sv1) + 0.5 * d2 * (R0l @ sf0)
+        eps_Gi1 = -0.25 * d2 ** 2 * (R1l @ sv1) + 0.5 * d2 * (R1l @ sf1)
+        eps_DPHI = -0.5 * d2 * jnp.einsum(
+            "sij,jk,slkm->slim", R0, Rbr, kin["J"][:-1])
+        eps_DPHI1 = -0.5 * d2 * jnp.einsum(
+            "sij,jk,slkm->slim", R1, Rbr, kin["J"][1:])
+        for j in range(C.NUM_OF_LEG):
+            r = _EPS + 3 * j
+            V = V.at[:, r:r + 3, C.ILNO_GI:C.ILNO_GI + 3].set(eps_Gi[:, j])
+            V = V.at[:, r:r + 3, C.ILNO_GI1:C.ILNO_GI1 + 3].set(eps_Gi1[:, j])
+            V = V.at[:, r:r + 3, C.ILNO_PHI:C.ILNO_PHI + 3].set(
+                -0.5 * d2[:, 0] * h0[:, j])
+            V = V.at[:, r:r + 3, C.ILNO_PHI1:C.ILNO_PHI1 + 3].set(
+                -0.5 * d2[:, 0] * h1[:, j])
+            V = V.at[:, r:r + 3, C.ILNO_DPHI:C.ILNO_DPHI + 3].set(
+                eps_DPHI[:, j])
+            V = V.at[:, r:r + 3, C.ILNO_DPHI1:C.ILNO_DPHI1 + 3].set(
+                eps_DPHI1[:, j])
+            V = V.at[:, r:r + 3, C.ILNO_V + 3 * j:C.ILNO_V + 3 * j + 3].set(
+                -I3 * d1)
+        V = V.at[:, _BA:_BA + 3, C.ILNO_BA:C.ILNO_BA + 3].set(-I3 * d1)
+        V = V.at[:, _BG:_BG + 3, C.ILNO_BG:C.ILNO_BG + 3].set(-I3 * d1)
+        V = V.at[:, _RHO:_RHO + 4, C.ILNO_NRHO:C.ILNO_NRHO + 4].set(
+            -jnp.eye(4, dtype=dtype) * d1)
+
+        an2, anz2, gn2 = params.acc_n ** 2, params.acc_n_z ** 2, \
+            params.gyr_n ** 2
+        base = jnp.concatenate([
+            jnp.array([an2, an2, anz2, gn2, gn2, gn2,
+                       an2, an2, anz2, gn2, gn2, gn2], dtype=dtype),
+            jnp.full((3,), params.acc_w ** 2, dtype),
+            jnp.full((3,), params.gyr_w ** 2, dtype),
+            jnp.full((6,), params.phi_n ** 2, dtype),
+            jnp.full((6,), params.dphi_n ** 2, dtype),
+        ])
+        noise = jnp.concatenate([
+            jnp.broadcast_to(base, (T, 30)),
+            uncertainties.reshape(T, 12), rho_uncertainty], axis=1)
+
+        Q = jnp.einsum("tij,tj,tkj->tik", V, noise, V)
+
+        # --- (F, Q) pairwise tree reduction ---
+        M = 1 << (T - 1).bit_length() if T > 1 else 1
+        padF = jnp.broadcast_to(jnp.eye(31, dtype=dtype), (M - T, 31, 31))
+        padQ = jnp.zeros((M - T, 31, 31), dtype)
+        Fs = jnp.concatenate([F, padF])
+        Qs = jnp.concatenate([Q, padQ])
+        while Fs.shape[0] > 1:
+            F1, F2 = Fs[0::2], Fs[1::2]
+            Q1, Q2 = Qs[0::2], Qs[1::2]
+            Fs = F2 @ F1
+            Qs = F2 @ Q1 @ jnp.swapaxes(F2, -1, -2) + Q2
+        J, P = Fs[0], Qs[0]
+
+    return ILPreint(
+        dp=dp, dq=dq_pref[-1], dv=dv, deps=deps, sum_deps=sum_deps,
+        J=J, P=P, sum_dt=jnp.sum(dtv), ba=ba, bg=bg, rho=rho,
+        contact_flag=contact_final, integration_contact=int_contact,
+        ff_min=ff_min, ff_max=ff_max, ff_window=ff_window, ff_idx=ff_idx,
     )
 
 

@@ -496,3 +496,81 @@ def test_ff_state_threads_across_intervals():
         zero3, zero3, d["rho"], p2,
         ff_init=(first.ff_min, first.ff_max, first.ff_window, first.ff_idx))
     assert np.all(np.asarray(warm.contact_flag) < 0.05)
+
+
+# ---------------------------------------------------------------------------
+# Parallel (log-depth) formulation vs the sequential scan
+# ---------------------------------------------------------------------------
+
+def _leg_stream(rng, S, ct):
+    t = np.cumsum(np.full(S, 0.002) * (1 + 0.1 * rng.uniform(-1, 1, S)))
+    acc = np.stack([0.5 * np.sin(7 * t), 0.4 * np.cos(9 * t),
+                    9.8 + np.sin(11 * t)], -1) + rng.normal(scale=0.2,
+                                                            size=(S, 3))
+    gyr = np.stack([0.6 * np.sin(5 * t), -0.5 * np.cos(6 * t),
+                    0.3 * np.sin(3 * t)], -1)
+    phi = np.tile([0.05, 0.75, -1.45], 4) + rng.normal(scale=0.2,
+                                                       size=(S, 12))
+    dphi = rng.normal(scale=2.0, size=(S, 12))
+    if ct == 2:
+        c = np.abs(rng.normal(scale=30.0, size=(S, 4))) + 20.0
+        c[S // 2:S // 2 + 3] = 0.0
+    else:
+        c = (rng.uniform(size=(S, 4)) > 0.4).astype(float)
+        c[S // 2] = 0.0
+    dt = np.diff(t, prepend=t[0] - 0.002)
+    mask = np.ones(S, bool)
+    mask[0] = False
+    mask[-3:] = False   # padded tail — parallel must honor the mask
+    return dt, acc, gyr, phi, dphi, c, mask
+
+
+@pytest.mark.parametrize("ct,guard", [(0, 0.0), (0, 0.1), (2, 0.0)])
+def test_parallel_matches_sequential(ct, guard, rng):
+    """il_preintegrate_parallel must agree with the sequential scan (which
+    is itself pinned loop-by-loop to the reference C++ by
+    tests/test_golden_reference.py) to reassociation roundoff."""
+    import dataclasses
+    from cerberus_tpu.ops import il_preintegrate_parallel
+
+    cfg = dataclasses.replace(
+        CFG, contact_sensor_type=ct,
+        noise=dataclasses.replace(CFG.noise, contact_lo_guard_rescale=guard))
+    params = PreintParams.from_config(cfg)
+    S = 37
+    dt, acc, gyr, phi, dphi, c, mask = _leg_stream(rng, S, ct)
+    ba = jnp.asarray(rng.normal(scale=0.05, size=3))
+    bg = jnp.asarray(rng.normal(scale=0.01, size=3))
+    rho = jnp.asarray(0.21 + rng.normal(scale=0.005, size=4))
+    ff = (jnp.asarray(rng.uniform(size=4) * 10),
+          jnp.asarray(40 + rng.uniform(size=4) * 10),
+          jnp.asarray(rng.uniform(size=(4, C.FOOT_VAR_WINDOW_SIZE)) * 50),
+          jnp.asarray(rng.integers(0, 5, size=4), jnp.int32))
+    j = lambda x: jnp.asarray(x, jnp.float64)
+    args = (j(dt), j(acc), j(gyr), j(phi), j(dphi), j(c), jnp.asarray(mask),
+            ba, bg, rho, params)
+    seq = il_preintegrate(*args, ff_init=ff)
+    par = il_preintegrate_parallel(*args, ff_init=ff)
+
+    def close(a, b, name, tol=1e-10):
+        a, b = np.asarray(a, float), np.asarray(b, float)
+        scale = max(1.0, np.max(np.abs(b)))
+        err = np.max(np.abs(a - b)) / scale
+        assert err < tol, f"{name}: {err:.3e}"
+
+    close(par.dp, seq.dp, "dp")
+    close(par.dq, seq.dq, "dq")
+    close(par.dv, seq.dv, "dv")
+    close(par.deps, seq.deps, "deps")
+    close(par.sum_deps, seq.sum_deps, "sum_deps")
+    close(par.J, seq.J, "J")
+    close(par.P, seq.P, "P", 5e-10)
+    close(par.sum_dt, seq.sum_dt, "sum_dt")
+    close(par.contact_flag, seq.contact_flag, "contact_flag")
+    np.testing.assert_array_equal(np.asarray(par.integration_contact),
+                                  np.asarray(seq.integration_contact))
+    close(par.ff_min, seq.ff_min, "ff_min")
+    close(par.ff_max, seq.ff_max, "ff_max")
+    close(par.ff_window, seq.ff_window, "ff_window")
+    np.testing.assert_array_equal(np.asarray(par.ff_idx),
+                                  np.asarray(seq.ff_idx))
