@@ -93,6 +93,7 @@ def replay(sim: dict, cfg: EstimatorConfig | None = None,
                     writer.row([t[k] * 1e9, *p, *est.velocity, *kf[0:3],
                                 *kf[3:6], *gt_k, *est.rho[-1]])
 
+    est.flush()   # adopt the in-flight pipelined solve
     if writer is not None:
         writer.close()
     est_p = np.array(est_p) if est_p else np.zeros((0, 3))
@@ -205,6 +206,7 @@ def replay_images(sim: dict, cfg=None, est: Estimator | None = None,
                           and ekf.is_inited() else np.zeros(6))
                     writer.row([t[k] * 1e9, *p, *est.velocity, *kf[0:3],
                                 *kf[3:6], *gt_k, *est.rho[-1]])
+    est.flush()   # adopt the in-flight pipelined solve
     if writer is not None:
         writer.close()
     est_p = np.array(est_p) if est_p else np.zeros((0, 3))

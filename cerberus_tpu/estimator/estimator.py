@@ -267,7 +267,7 @@ class Estimator:
 
     def __init__(self, cfg: EstimatorConfig | None = None,
                  max_samples: int = 128, dtype=jnp.float64,
-                 use_native: bool | None = None):
+                 use_native: bool | None = None, pipeline: bool = True):
         # max_samples: padded per-interval sample capacity for the
         # preintegration scan. At 500 Hz / 15 Hz an interval holds ~34
         # samples; MARGIN_SECOND_NEW merges consecutive non-keyframe
@@ -279,6 +279,7 @@ class Estimator:
         self.cfg = cfg or EstimatorConfig()
         self.dtype = dtype
         self.S = max_samples
+        self.pipeline = pipeline
         self.params = PreintParams.from_config(self.cfg, dtype)
         self.F = self.cfg.max_features
         # native C++ ring-buffer ingestion + time-sync (cerberus_tpu/native.py)
@@ -338,6 +339,7 @@ class Estimator:
         self.preints = [None] * 10
         self.prior = None          # (J, r, lin_state)
         self.prev_img_t = None
+        self._pending = None       # in-flight dispatched solve (pipeline)
         self._pending_frames = []  # frames waiting for proprio to reach t+td
         self._last_raw = None      # (acc, gyr) of the newest pushed sample
         if getattr(self, "use_native", False):
@@ -442,6 +444,10 @@ class Estimator:
         self._process_image(t, feats)
 
     def _process_image(self, t, feats: dict):
+        # adopt the previous frame's in-flight solve FIRST: the deferred
+        # slide must consume buffers/preints before this frame's
+        # _close_interval overwrites them
+        self._finish_pending()
         fc = self.frame_count
         if not self.cfg.stereo:
             # mono mode: drop right-cam observations (changeSensorType)
@@ -527,7 +533,15 @@ class Estimator:
             # !USE_IMU, estimator.cpp:806-808); here PnP additionally acts
             # as a RECOVERY path: adopt its pose when it disagrees strongly
             # with dead-reckoning (corrupted preintegration, IMU dropout).
-            if not self.cfg.use_imu or self.cfg.pnp_fallback:
+            # As a watchdog it runs every 3rd frame (~200 ms recovery
+            # latency) rather than every frame — the GN PnP costs ~7 ms of
+            # host time, a large slice of the 66 ms real-time budget — and
+            # ALWAYS when dead-reckoning is unavailable or suspect (no
+            # IMU, stale interval).
+            want_pnp = (not self.cfg.use_imu or stale
+                        or (self.cfg.pnp_fallback
+                            and self.stats["solves"] % 3 == 0))
+            if want_pnp:
                 res = self.fm.init_frame_pose_by_pnp(C.WINDOW_SIZE, p_w, R_w,
                                                      tic_, ric)
                 if res is not None:
@@ -603,57 +617,98 @@ class Estimator:
             out = kernel(st0, pres, ivalid, feats_pad, prior_t, free_mask,
                          self._gravity, self._calib, raw9, raw8, self.params)
             self.stats["dispatches"] = self.stats.get("dispatches", 0) + 1
-            prior_out = out.get("prior")
             # the in-kernel preints stay device-resident for the next frame
+            # (the deferred slide reads preints[9] before close_interval
+            # overwrites it)
             if "pre9" in out:
                 self.preints[9] = out["pre9"]
-            pre8m = out.get("pre8m")
-            # ONE batched D2H (tunnel-friendly): state + outlier scores +
-            # solve info; the new prior never leaves the device
-            st_np, errs, info = jax.device_get((out["st"], out["errs"],
-                                                out["info"]))
-            self.stats["solve_only_time"] = \
-                self.stats.get("solve_only_time", 0.0) + (time.time() - t1)
-            self._adopt(st_np, slots, feats_d)
-            self.last_info = info
-            self.stats["solve_time"] += time.time() - t0
-            self.stats["solves"] += 1
-            if self.metrics is not None:
-                self.metrics.log(
-                    "solve", t=float(t), cost0=float(info.cost0),
-                    cost=float(info.cost), accepted=int(info.accepted),
-                    solve_ms=round(1000 * (time.time() - t0), 2),
-                    block_ms=round(1000 * (time.time() - t1), 2),
-                    dispatches=self.stats.get("dispatches", 0),
-                    features=int(np.sum(feats_d["valid"])),
-                    keyframe=bool(is_kf), td=float(self.td))
-
-            # host-side outlier bookkeeping — the SAME 3 px average-error
-            # rule the kernel applied in-device before marginalizing
-            # (reference: ave_err * FOCAL_LENGTH > 3, estimator.cpp:1794-96)
-            errs = errs[: len(slots)]
-            bad_local = [n for n in range(len(slots))
-                         if feats_d["valid"][n]
-                         and errs[n] * C.FOCAL_LENGTH > 3.0]
-            self.fm.remove_outliers([slots[n] for n in bad_local])
-
-            self._predict_next_frame()
-            if self.failure_detection():
-                # system reboot (reference: estimator.cpp:823-831), with
-                # pose continuity: the restarted estimator continues from
-                # the last published pose (see _rebase_world)
-                self.stats["reboots"] += 1
-                if self.metrics is not None:
-                    self.metrics.log("reboot", t=float(t),
-                                     count=self.stats["reboots"])
-                self._rebase_world()
-                self.clear_state()
-                return
-            if prior_out is not None:
-                self.prior = prior_out
-            self._emit_keyframe_and_slide(margin_flag, pre8m=pre8m)
-            self.fm.remove_failures()
+            # PIPELINED adoption: the dispatch returns immediately (jax
+            # async); the blocking fetch + all post-solve host bookkeeping
+            # run at the NEXT frame's entry (_finish_pending), so the
+            # device computes this solve WHILE the host does the next
+            # frame's input/feature work. Numerically identical solves —
+            # only the fetch point moves. This mirrors the reference's own
+            # async split: processMeasurements optimizes in a background
+            # thread while outputs come from fastPredictIMU
+            # (estimator.cpp:133-137, 1800-1840).
+            self._pending = dict(out=out, slots=slots, feats_d=feats_d,
+                                 margin_flag=margin_flag, t=t, t0=t0, t1=t1,
+                                 is_kf=is_kf)
+            if not self.pipeline:
+                self._finish_pending()
+                if self.solver_flag == self.INITIAL:   # reboot fired
+                    return
         self._update_latest(t)
+
+    def _finish_pending(self):
+        """Blocking fetch + post-solve host bookkeeping of the previously
+        dispatched frame (see the pipelined-adoption comment at the
+        dispatch site). Runs at the next frame's entry, or from flush()."""
+        pend = self._pending
+        if pend is None:
+            return
+        self._pending = None
+        out, slots, feats_d = pend["out"], pend["slots"], pend["feats_d"]
+        margin_flag, t = pend["margin_flag"], pend["t"]
+        t0, t1, is_kf = pend["t0"], pend["t1"], pend["is_kf"]
+        tf = time.time()
+        prior_out = out.get("prior")
+        pre8m = out.get("pre8m")
+        # ONE batched D2H (tunnel-friendly): state + outlier scores + solve
+        # info; the new prior never leaves the device
+        st_np, errs, info = jax.device_get((out["st"], out["errs"],
+                                            out["info"]))
+        self.stats["solve_only_time"] = \
+            self.stats.get("solve_only_time", 0.0) + (time.time() - t1)
+        self.stats["block_time"] = self.stats.get("block_time", 0.0) \
+            + (time.time() - tf)
+        self._adopt(st_np, slots, feats_d)
+        self.last_info = info
+        self.stats["solve_time"] += time.time() - t0
+        self.stats["solves"] += 1
+        if self.metrics is not None:
+            self.metrics.log(
+                "solve", t=float(t), cost0=float(info.cost0),
+                cost=float(info.cost), accepted=int(info.accepted),
+                solve_ms=round(1000 * (time.time() - t0), 2),
+                block_ms=round(1000 * (time.time() - tf), 2),
+                dispatches=self.stats.get("dispatches", 0),
+                features=int(np.sum(feats_d["valid"])),
+                keyframe=bool(is_kf), td=float(self.td))
+
+        # host-side outlier bookkeeping — the SAME 3 px average-error rule
+        # the kernel applied in-device before marginalizing
+        # (reference: ave_err * FOCAL_LENGTH > 3, estimator.cpp:1794-96)
+        errs = errs[: len(slots)]
+        bad_local = [n for n in range(len(slots))
+                     if feats_d["valid"][n]
+                     and errs[n] * C.FOCAL_LENGTH > 3.0]
+        self.fm.remove_outliers([slots[n] for n in bad_local])
+
+        if self.predict_callback is not None:
+            # feature prediction only feeds tracker seeding; without a
+            # consumer it is ~3 ms/frame of dead host time
+            self._predict_next_frame()
+        if self.failure_detection():
+            # system reboot (reference: estimator.cpp:823-831), with pose
+            # continuity: the restarted estimator continues from the last
+            # published pose (see _rebase_world)
+            self.stats["reboots"] += 1
+            if self.metrics is not None:
+                self.metrics.log("reboot", t=float(t),
+                                 count=self.stats["reboots"])
+            self._rebase_world()
+            self.clear_state()
+            return
+        if prior_out is not None:
+            self.prior = prior_out
+        self._emit_keyframe_and_slide(margin_flag, pre8m=pre8m)
+        self.fm.remove_failures()
+
+    def flush(self):
+        """Adopt any in-flight solve (end of stream, before checkpointing,
+        or before reading solved state externally)."""
+        self._finish_pending()
 
     # ------------------------------------------------------------------
     def _init_first_pose(self, t):
@@ -940,6 +995,7 @@ class Estimator:
         no scale information (reference prints the same complaint)."""
         if not use_imu and not use_stereo:
             raise ValueError("at least two sensors required: imu or stereo")
+        self.flush()   # hot-swap must see the adopted window state
         restart = False
         if use_imu != self.cfg.use_imu:
             self.cfg = self.cfg.replace(use_imu=use_imu)

@@ -133,7 +133,10 @@ def _solve_window_impl(state: fac.WindowState, data: fac.WindowData,
     # Jacobian + H/b assembly pass (at the candidate state), and the
     # candidate's robust cost is computed from that assembly's own residual
     # vector — there is no standalone cost pass. The iterate sequence is
-    # IDENTICAL to the classic assemble-at-current/evaluate-candidate loop:
+    # identical (up to the residual-path roundoff bounded by
+    # tests/test_structured.py, ~1e-10 — accept decisions at exact cost
+    # ties can differ bitwise) to the classic
+    # assemble-at-current/evaluate-candidate loop:
     # on accept the candidate's assembly is exactly what the next iteration
     # would have rebuilt; on reject the retained (H, b) of the current state
     # is exactly what a reassembly at the unchanged state would produce.

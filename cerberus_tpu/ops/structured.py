@@ -29,6 +29,7 @@ from cerberus_tpu.ops import factors as fac
 from cerberus_tpu.utils import lie
 
 NF = C.NUM_FRAMES
+NI = NF - 1      # inter-keyframe intervals (one IMU+leg factor each)
 
 # per projection pair local tangent: [pose_i(6), pose_j(6), ex0(6), ex1(6),
 # depth(1), td(1)]
@@ -47,8 +48,8 @@ def _ileg_pairs(st: fac.WindowState, data: fac.WindowData):
     touches — frames k and k+1 of the state plus interval k's preintegration.
     Leading-axis stacking lets a single vmap evaluate all 10 factors with
     slicing only (no dynamic gathers)."""
-    return (st.p[:10], st.q[:10], st.v[:10], st.ba[:10], st.bg[:10],
-            st.rho[:10],
+    return (st.p[:NI], st.q[:NI], st.v[:NI], st.ba[:NI], st.bg[:NI],
+            st.rho[:NI],
             st.p[1:], st.q[1:], st.v[1:], st.ba[1:], st.bg[1:], st.rho[1:],
             data.pre_dp, data.pre_dq, data.pre_dv, data.pre_deps, data.pre_J,
             data.pre_L, data.pre_dt, data.pre_ba, data.pre_bg, data.pre_rho,
@@ -133,7 +134,7 @@ def _ileg_placement(dtype):
     (modulo addition order)."""
     import numpy as np
     P = np.zeros((10, ILEG_TAN, fac.D_DENSE), dtype=np.float64)
-    for k in range(10):
+    for k in range(NI):
         P[k, 0:12, fac.POSE_OFF + 6 * k:fac.POSE_OFF + 6 * k + 12] = \
             np.eye(12)
         P[k, 12:30, fac.SB_OFF + 9 * k:fac.SB_OFF + 9 * k + 18] = np.eye(18)
@@ -316,15 +317,19 @@ def build_normal_equations_blocks(st: fac.WindowState, data: fac.WindowData):
     # B=128 the ~100 sequential placement updates cost more HBM traffic than
     # the factor math itself. One-hot placement contractions assemble the
     # same blocks as a handful of MXU matmuls.
+    # HIGHEST pinned locally: placement must be numerically exact (one-hot
+    # contractions replacing .at[].add) even for callers outside the
+    # solver's default_matmul_precision context (ADVICE r3)
+    hp = jax.lax.Precision.HIGHEST
     P79 = _proj_placement(dtype)                           # (79, 222)
-    H_pp = P79.T @ H79 @ P79
-    H_pd = P79.T @ Hpd79
-    b_p = P79.T @ b79
+    H_pp = jnp.einsum("ca,cd,db->ab", P79, H79, P79, precision=hp)
+    H_pd = jnp.einsum("ca,cf->af", P79, Hpd79, precision=hp)
+    b_p = jnp.einsum("ca,c->a", P79, b79, precision=hp)
 
     # ---- IMU+leg factors: batched rows, one placement contraction ----
     r_il, J_il = _ileg_rows(st, data)                      # (10,31) (10,31,38)
     Pil = _ileg_placement(dtype)                           # (10, 38, 222)
-    Jw = jnp.einsum("kra,kaA->krA", J_il, Pil)             # (10, 31, 222)
+    Jw = jnp.einsum("kra,kaA->krA", J_il, Pil, precision=hp)  # (NI, 31, 222)
     H_pp = H_pp + jnp.einsum("krA,krB->AB", Jw, Jw)
     b_p = b_p + jnp.einsum("krA,kr->A", Jw, r_il)
 
@@ -403,7 +408,7 @@ def linearize_rows(st: fac.WindowState, data: fac.WindowData):
 
     # ---- IMU+leg rows: batched (10, 31, 38) evaluation, static placement --
     r_il_b, J_il_b = _ileg_rows(st, data)
-    for k in range(10):
+    for k in range(NI):
         J_k = J_il_b[k]
         row = 31 * k
         segs = [(0, 12, fac.POSE_OFF + 6 * k),
