@@ -111,6 +111,21 @@ def main():
         lat.append(time.time() - t0)
     lat_ms = float(np.median(lat)) * 1000
 
+    # null-program roundtrip: dispatch+fetch of a trivial kernel. Through
+    # the axon relay this is ~26 ms and dominates the single-window number;
+    # the device-time estimate below is the on-chip latency a local
+    # deployment would see (full decomposition: evals/profile_streaming.py
+    # -> PROFILE_STREAM.json).
+    null = jax.jit(lambda x: x + 1.0)
+    nt = []
+    z = jnp.zeros((4,), dtype)
+    float(jnp.sum(null(z)))
+    for i in range(reps):
+        t0 = time.time()
+        float(jnp.sum(null(z + i)))
+        nt.append(time.time() - t0)
+    null_ms = float(np.median(nt)) * 1000
+
     # ---- speed-of-light / MFU accounting (BASELINE.json north star) ----
     # flops model: XLA's own cost analysis of the compiled batched solve.
     platform = jax.devices()[0].platform
@@ -136,6 +151,8 @@ def main():
         "dtype": str(dtype.__name__),
         "batch_latency_ms": round(dt * 1000, 2),
         "single_window_latency_ms": round(lat_ms, 3),
+        "null_roundtrip_ms": round(null_ms, 2),
+        "single_window_device_ms": round(max(lat_ms - null_ms, 0.0), 2),
         "flops_per_window": round(flops_per_window),
         "achieved_gflops": round(achieved / 1e9, 2),
         "peak_gflops_f32_highest": round(peak / 1e9),

@@ -355,47 +355,146 @@ def read_messages(path: str, topic_map: dict[str, str]):
 # writer
 
 class BagWriter:
-    """Minimal valid bag writer: one uncompressed chunk with all
-    connections + messages, standard 4096-byte bag-header record."""
+    """Bag writer with two fidelity levels.
 
-    def __init__(self, path: str):
+    Default: one uncompressed chunk with all connections + messages and a
+    standard 4096-byte bag-header record — the minimal VALID bag.
+
+    recorder_style=True reproduces the structure `rosbag record` actually
+    emits (the artifacts the reference consumes via
+    launch/dataset/*.launch): multiple chunks (split every `chunk_msgs`
+    messages), connection records written inside the chunk where first
+    used, per-connection INDEX_DATA records (op=0x04, ver=1, message
+    time+offset into the uncompressed chunk) after each chunk, and an
+    index section at index_pos with repeated CONNECTION records plus
+    CHUNK_INFO records (op=0x06, ver=1, chunk_pos/start/end/count).
+    Connection headers may carry `callerid` and `latching` (a latched
+    publisher), and one topic may have multiple connections (two
+    publishers) — the recorder-reality quirks VERDICT r3 item 8 lists.
+    """
+
+    def __init__(self, path: str, recorder_style: bool = False,
+                 chunk_msgs: int = 200):
         self.path = path
-        self._conns: dict[str, int] = {}
-        self._conn_records: list[bytes] = []
-        self._msg_records: list[bytes] = []
+        self.recorder_style = recorder_style
+        self.chunk_msgs = chunk_msgs
+        self._conns: dict[tuple, int] = {}       # (topic, callerid) -> cid
+        self._conn_recs: dict[int, bytes] = {}   # cid -> connection record
+        self._conns_written: set[int] = set()    # written into some chunk
+        # current chunk accumulators
+        self._cur: list[bytes] = []
+        self._cur_index: dict[int, list] = {}    # cid -> [(time, offset)]
+        self._cur_len = 0
+        self._cur_times: list[float] = []
+        self._cur_count = 0
+        # finished chunks: (chunk_record_payload, index_map, tmin, tmax)
+        self._chunks: list[tuple] = []
 
-    def _conn_id(self, topic: str, msg) -> int:
-        if topic not in self._conns:
+    def _conn_id(self, topic: str, msg, callerid: str = "",
+                 latching: bool = False) -> int:
+        key = (topic, callerid)
+        if key not in self._conns:
             cid = len(self._conns)
-            self._conns[topic] = cid
-            info = _pack_fields({
+            self._conns[key] = cid
+            info = {
                 "topic": topic.encode(),
                 "type": msg.TYPE.encode(),
                 "md5sum": msg.MD5.encode(),
                 "message_definition": b"",
-            })
-            self._conn_records.append(_record(
+            }
+            if callerid or self.recorder_style:
+                info["callerid"] = callerid.encode()
+            if latching:
+                info["latching"] = b"1"
+            self._conn_recs[cid] = _record(
                 {"op": bytes([OP_CONNECTION]), "conn": _u32(cid),
-                 "topic": topic.encode()}, info))
-        return self._conns[topic]
+                 "topic": topic.encode()}, _pack_fields(info))
+        return self._conns[key]
 
-    def write(self, topic: str, msg, stamp: float | None = None):
-        cid = self._conn_id(topic, msg)
+    def write(self, topic: str, msg, stamp: float | None = None,
+              callerid: str = "", latching: bool = False):
+        cid = self._conn_id(topic, msg, callerid, latching)
         t = msg.stamp if stamp is None else stamp
-        self._msg_records.append(_record(
+        if self.recorder_style and cid not in self._conns_written:
+            # rosbag record writes each connection into the chunk where it
+            # is first used
+            self._cur.append(self._conn_recs[cid])
+            self._cur_len += len(self._conn_recs[cid])
+            self._conns_written.add(cid)
+        offset = self._cur_len
+        rec = _record(
             {"op": bytes([OP_MSG]), "conn": _u32(cid), "time": _time(t)},
-            msg.serialize()))
+            msg.serialize())
+        self._cur.append(rec)
+        self._cur_len += len(rec)
+        self._cur_index.setdefault(cid, []).append((t, offset))
+        self._cur_times.append(t)
+        self._cur_count += 1
+        if self.recorder_style and self._cur_count >= self.chunk_msgs:
+            self._flush_chunk()
+
+    def _flush_chunk(self):
+        if not self._cur_count and not self._cur:
+            return
+        data = b"".join(self._cur)
+        self._chunks.append((data, self._cur_index,
+                             min(self._cur_times, default=0.0),
+                             max(self._cur_times, default=0.0)))
+        self._cur, self._cur_index = [], {}
+        self._cur_len = 0
+        self._cur_times, self._cur_count = [], 0
+        # connection records repeat in every chunk that uses them only via
+        # first-use; rosbag re-announces on new chunks lazily — re-arm so
+        # long bags keep chunks self-contained
+        self._conns_written = set()
 
     def close(self):
-        chunk_data = b"".join(self._conn_records) + b"".join(self._msg_records)
-        chunk = _record({"op": bytes([OP_CHUNK]),
-                         "compression": b"none",
-                         "size": _u32(len(chunk_data))}, chunk_data)
-        # bag header record is padded with spaces to 4096 bytes total
+        if not self.recorder_style:
+            chunk_data = (b"".join(self._conn_recs[c]
+                                   for c in sorted(self._conn_recs))
+                          + b"".join(self._cur))
+            body = _record({"op": bytes([OP_CHUNK]),
+                            "compression": b"none",
+                            "size": _u32(len(chunk_data))}, chunk_data)
+            self._emit(body, index_pos=0, chunk_count=1)
+            return
+        self._flush_chunk()
+        pos = len(MAGIC) + 4096                   # after bag-header record
+        body = b""
+        chunk_infos = []
+        for data, index, tmin, tmax in self._chunks:
+            chunk_pos = pos + len(body)
+            body += _record({"op": bytes([OP_CHUNK]),
+                             "compression": b"none",
+                             "size": _u32(len(data))}, data)
+            for cid in sorted(index):
+                entries = index[cid]
+                idx_data = b"".join(_time(t) + _u32(off)
+                                    for t, off in entries)
+                body += _record(
+                    {"op": bytes([OP_INDEX]), "ver": _u32(1),
+                     "conn": _u32(cid), "count": _u32(len(entries))},
+                    idx_data)
+            chunk_infos.append((chunk_pos, index, tmin, tmax))
+        index_pos = pos + len(body)
+        for cid in sorted(self._conn_recs):       # index section
+            body += self._conn_recs[cid]
+        for chunk_pos, index, tmin, tmax in chunk_infos:
+            ci_data = b"".join(_u32(cid) + _u32(len(index[cid]))
+                               for cid in sorted(index))
+            body += _record(
+                {"op": bytes([OP_CHUNK_INFO]), "ver": _u32(1),
+                 "chunk_pos": struct.pack("<Q", chunk_pos),
+                 "start_time": _time(tmin), "end_time": _time(tmax),
+                 "count": _u32(len(index))}, ci_data)
+        self._emit(body, index_pos=index_pos,
+                   chunk_count=len(self._chunks))
+
+    def _emit(self, body: bytes, index_pos: int, chunk_count: int):
         hdr_fields = {"op": bytes([OP_BAG_HEADER]),
-                      "index_pos": struct.pack("<Q", 0),
+                      "index_pos": struct.pack("<Q", index_pos),
                       "conn_count": _u32(len(self._conns)),
-                      "chunk_count": _u32(1)}
+                      "chunk_count": _u32(chunk_count)}
         h = _pack_fields(hdr_fields)
         pad = 4096 - (4 + len(h) + 4)
         rec = (struct.pack("<I", len(h)) + h + struct.pack("<I", pad)
@@ -403,7 +502,7 @@ class BagWriter:
         with open(self.path, "wb") as f:
             f.write(MAGIC)
             f.write(rec)
-            f.write(chunk)
+            f.write(body)
 
     def __enter__(self):
         return self

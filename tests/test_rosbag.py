@@ -216,3 +216,121 @@ def test_convert_euroc(tmp_path):
     assert len(ds["cam_t"]) == 100
     assert "p" in ds   # ground truth resampled
     assert ds["meta"]["robot"] == "euroc"
+
+
+# ---------------------------------------------------------------------------
+# recorder-style bag structure (VERDICT r3 item 8: the record types
+# `rosbag record` actually emits — index records, chunk_info, multiple
+# connections per topic, latching headers)
+# ---------------------------------------------------------------------------
+
+def test_recorder_style_roundtrip(tmp_path):
+    from cerberus_tpu.data.rosbag import (
+        MAGIC, OP_CHUNK_INFO, OP_INDEX, BagWriter, ImuMsg, _iter_records,
+        read_bag)
+
+    path = str(tmp_path / "rec.bag")
+    n = 0
+    with BagWriter(path, recorder_style=True, chunk_msgs=25) as w:
+        # latched one-shot publisher (e.g. /tf_static style)
+        import numpy as np
+        z = np.zeros(3)
+        w.write("/cfg", ImuMsg(stamp=0.0, acc=z, gyr=z), latching=True,
+                callerid="/latcher")
+        n += 1
+        # TWO publishers on the same topic -> two connections
+        for k in range(80):
+            t = 0.002 * k
+            w.write("/imu", ImuMsg(stamp=t, acc=z, gyr=z),
+                    callerid="/pub_a")
+            w.write("/imu", ImuMsg(stamp=t + 0.001, acc=z, gyr=z),
+                    callerid="/pub_b")
+            n += 2
+
+    raw = open(path, "rb").read()
+    ops = [h.get("op", b"\x00")[0]
+           for h, _ in _iter_records(raw, len(MAGIC))]
+    # multiple chunks, interleaved INDEX_DATA, trailing CHUNK_INFO section
+    assert ops.count(5) >= 3, ops                 # OP_CHUNK
+    assert OP_INDEX in ops
+    assert OP_CHUNK_INFO in ops
+    assert ops.index(4) < len(ops) - 1            # index follows chunks
+
+    msgs = list(read_bag(path))
+    assert len(msgs) == n
+    topics = [m[0] for m in msgs]
+    assert topics.count("/imu") == 160 and topics.count("/cfg") == 1
+    stamps = [m[2] for m in msgs if m[0] == "/imu"]
+    assert stamps == sorted(stamps)
+
+
+def test_recorder_style_index_offsets_valid(tmp_path):
+    """INDEX_DATA offsets must point at message records inside the
+    uncompressed chunk payload (what rosbag's random-access readers use)."""
+    import struct
+    from cerberus_tpu.data.rosbag import (
+        MAGIC, OP_CHUNK, OP_INDEX, OP_MSG, BagWriter, ImuMsg,
+        _iter_records, _unpack_fields)
+
+    import numpy as np
+    z = np.zeros(3)
+    path = str(tmp_path / "idx.bag")
+    with BagWriter(path, recorder_style=True, chunk_msgs=10) as w:
+        for k in range(25):
+            w.write("/imu", ImuMsg(stamp=0.01 * k, acc=z, gyr=z))
+
+    raw = open(path, "rb").read()
+    chunks = []
+    pending_idx = []
+    for h, d in _iter_records(raw, len(MAGIC)):
+        op = h.get("op", b"\x00")[0]
+        if op == OP_CHUNK:
+            chunks.append(d)
+            pending_idx.append([])
+        elif op == OP_INDEX and pending_idx:
+            pending_idx[-1].append((h, d))
+    assert len(chunks) >= 2
+    checked = 0
+    for chunk_data, idxs in zip(chunks, pending_idx):
+        for h, d in idxs:
+            count = struct.unpack("<I", h["count"])[0]
+            for i in range(count):
+                off = struct.unpack("<I", d[i * 12 + 8: i * 12 + 12])[0]
+                hlen = struct.unpack("<I", chunk_data[off:off + 4])[0]
+                hdr = _unpack_fields(chunk_data[off + 4: off + 4 + hlen])
+                assert hdr["op"][0] == OP_MSG
+                checked += 1
+    assert checked == 25
+
+
+def test_recorder_style_through_converter(tmp_path):
+    """A recorder-style reference-topic bag must convert identically to the
+    simple-style bag (same reader path end-to-end)."""
+    import numpy as np
+    from cerberus_tpu.data.rosbag import BagWriter, ImuMsg, JointStateMsg
+    from cerberus_tpu.data.log_adapter import convert_rosbag
+
+    def fill(w):
+        rng = np.random.default_rng(0)
+        for k in range(300):
+            t = 0.002 * k
+            w.write("/hardware_a1/imu", ImuMsg(
+                stamp=t, acc=rng.normal(size=3) + [0, 0, 9.8],
+                gyr=rng.normal(scale=0.1, size=3)), callerid="/imu_node")
+            w.write("/hardware_a1/joint_foot", JointStateMsg(
+                stamp=t, name=[f"j{i}" for i in range(12)] + [
+                    "FL_foot", "FR_foot", "RL_foot", "RR_foot"],
+                position=list(rng.normal(size=12)) + [0.0] * 4,
+                velocity=list(rng.normal(size=12)) + [1.0] * 4,
+                effort=[0.0] * 12 + [50.0] * 4), callerid="/leg_node")
+
+    p1 = str(tmp_path / "simple.bag")
+    p2 = str(tmp_path / "recorder.bag")
+    with BagWriter(p1) as w:
+        fill(w)
+    with BagWriter(p2, recorder_style=True, chunk_msgs=64) as w:
+        fill(w)
+    d1 = convert_rosbag(p1, str(tmp_path / "out1"), write_images=False)
+    d2 = convert_rosbag(p2, str(tmp_path / "out2"), write_images=False)
+    for key in ("t", "acc", "gyr", "phi", "dphi"):
+        np.testing.assert_array_equal(d1[key], d2[key])
