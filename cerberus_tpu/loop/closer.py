@@ -35,7 +35,8 @@ class LoopCloser:
                  min_sim: float = 0.50, exclude_last: int = 40,
                  optimize_every: int = 10, min_kf_dist: float = 0.25,
                  min_kf_yaw: float = 0.2, seq_window: int = 5,
-                 seq_radius: int = 8, strong_sim: float = 0.90):
+                 seq_radius: int = 8, strong_sim: float = 0.90,
+                 seq_weight: float = 100.0, loop_weight: float = 10.0):
         # min_sim gates only the PROPOSAL; every candidate still has to
         # survive mutual-best ZNCC patch matching and RANSAC PnP before an
         # edge is added, so a permissive default is safe (0.85 found zero
@@ -52,7 +53,14 @@ class LoopCloser:
         # auto_detect off: this front-end supplies verified, MEASURED edges
         # (ZNCC + RANSAC PnP); the posegraph's feature-overlap proposals
         # would add unverified edges invisible to loops_found
-        self.pg = PoseGraph(auto_detect=False)
+        # seq_weight/loop_weight: sqrt-information of the odometric chain
+        # vs a PnP loop measurement. The defaults model the production
+        # VILO (relative keyframe error ~10 mm, PnP ~0.1 m) so a loop
+        # dominates only across chains long enough for accumulated drift
+        # to exceed PnP noise; a deliberately-bad odometry source should
+        # pass a lower seq_weight.
+        self.pg = PoseGraph(auto_detect=False, seq_weight=seq_weight)
+        self.loop_weight = loop_weight
         self.index = desc.PlaceIndex()
         self.db: list[dict] = []
         self.min_matches = min_matches
@@ -169,12 +177,15 @@ class LoopCloser:
         of the NEW keyframe against the OLD keyframe's 3D points, then add a
         measured relative-pose edge.
 
-        seq_consistent: the candidate already carries temporal evidence
-        (a neighboring keyframe retrieved a nearby node), so the
-        weak-similarity match-count escalation is waived."""
+        seq_consistent: the candidate carries temporal evidence (a
+        neighboring keyframe retrieved a nearby node) — currently
+        informational; geometric requirements stay at full strength."""
         old = self.db[old_idx]
-        need = self.min_matches if seq_consistent \
-            else self._required_matches(sim)
+        # sequence consistency gates the PROPOSAL; geometric evidence
+        # requirements stay at full strength (a relaxed match count here
+        # admitted weaker PnP edges whose errors the pose graph then
+        # propagated — measured on the 3-lap run)
+        need = self._required_matches(sim)
         i_new, i_old = desc.match_patches(rec["descs"], rec["ok"],
                                           old["descs"], old["ok"])
         if len(i_new) < need:
@@ -201,7 +212,8 @@ class LoopCloser:
         Ri = _np_rot_z(self.pg.yaw[i])
         rel_p = Ri.T @ (p_body - self.pg.p[i])
         rel_yaw = yaw_meas - self.pg.yaw[i]
-        self.pg.add_loop_edge(i, j, rel_p=rel_p, rel_yaw=rel_yaw, weight=20.0)
+        self.pg.add_loop_edge(i, j, rel_p=rel_p, rel_yaw=rel_yaw,
+                              weight=self.loop_weight)
         self.loops_found += 1
         # optimize on every accepted loop (the reference's loop_fusion is an
         # always-on corrector, not a batch post-processor)

@@ -96,8 +96,12 @@ def test_loop_closer_corrects_drift(rng):
     cfg = EstimatorConfig()
 
     drift = np.array([0.35, -0.25, 0.0])
+    # this scenario injects ~54 mm/edge of odometric drift — far worse
+    # than the production VILO the default seq_weight models — so pass the
+    # matching (weaker) chain information
     closer = LoopCloser(cfg, exclude_last=3, min_sim=0.7, min_matches=10,
-                        optimize_every=1000, min_kf_dist=0.0)
+                        optimize_every=1000, min_kf_dist=0.0,
+                        seq_weight=10.0, loop_weight=20.0)
     qid = np.array([1.0, 0, 0, 0])
     for k in range(9):
         obs, img = _kf_inputs(r, k, cfg)
