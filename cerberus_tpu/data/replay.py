@@ -107,7 +107,8 @@ def replay(sim: dict, cfg: EstimatorConfig | None = None,
 def replay_images(sim: dict, cfg=None, est: Estimator | None = None,
                   tracker=None, renderer=None, max_frames: int | None = None,
                   csv_path: str | None = None, ekf=None,
-                  use_prediction: bool = True) -> dict:
+                  use_prediction: bool = True,
+                  pipeline_frontend: bool = True) -> dict:
     """Full-pipeline replay: rendered stereo images -> feature tracker ->
     estimator — the reference's actual hot path (main.cpp:95-133
     sync_process -> inputImage -> trackImage -> processMeasurements),
@@ -117,6 +118,11 @@ def replay_images(sim: dict, cfg=None, est: Estimator | None = None,
       .track(t, img0, img1) -> feature dict and .set_prediction(pixels)).
       Defaults to the OpenCV front-end with the sim pinhole model.
     renderer: ImageRenderer (built from sim when None).
+    pipeline_frontend: render+track frame k+1 on a worker thread while the
+      estimator's deferred solve of frame k completes — the reference's own
+      thread split (sync_process tracks while processMeasurements
+      optimizes, main.cpp:478 + estimator.cpp:133-137). Prediction seeds
+      then lag one extra frame (~3 px at walking speed).
     """
     from cerberus_tpu.data.simulator import ImageRenderer
 
@@ -168,6 +174,24 @@ def replay_images(sim: dict, cfg=None, est: Estimator | None = None,
     track_ms = 0.0
     render_ms = 0.0
     import time as _time
+
+    cam_order = sorted(cam_idx)
+    nxt = {cam_order[i]: cam_order[i + 1]
+           for i in range(len(cam_order) - 1)}
+    pool = fut = None
+    if pipeline_frontend and cam_order:
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=1)
+
+        def produce(k):
+            t0 = _time.time()
+            img0, img1 = renderer.render_stereo(k)
+            t1 = _time.time()
+            feats = tracker.track(t[k], img0, img1)
+            return feats, (t1 - t0) * 1000, (_time.time() - t1) * 1000
+
+        fut = pool.submit(produce, cam_order[0])
+
     for k in range(len(t)):
         if ekf is not None:
             if not ekf.is_inited():
@@ -186,13 +210,23 @@ def replay_images(sim: dict, cfg=None, est: Estimator | None = None,
         est.input_imu_leg(t[k], sim["acc"][k], sim["gyr"][k], sim["phi"][k],
                           sim["dphi"][k], contact)
         if k in cam_idx:
-            t0 = _time.time()
-            img0, img1 = renderer.render_stereo(k)
-            t1 = _time.time()
-            feats = tracker.track(t[k], img0, img1)
-            t2 = _time.time()
-            render_ms += (t1 - t0) * 1000
-            track_ms += (t2 - t1) * 1000
+            if fut is not None:
+                feats, r_ms, tk_ms = fut.result()
+                render_ms += r_ms
+                track_ms += tk_ms
+                # start the NEXT frame's render+track before the estimator
+                # blocks on its deferred fetch — front-end and back-end
+                # overlap like the reference's sync_process/processThread
+                if k in nxt:
+                    fut = pool.submit(produce, nxt[k])
+            else:
+                t0 = _time.time()
+                img0, img1 = renderer.render_stereo(k)
+                t1 = _time.time()
+                feats = tracker.track(t[k], img0, img1)
+                t2 = _time.time()
+                render_ms += (t1 - t0) * 1000
+                track_ms += (t2 - t1) * 1000
             est.input_image(t[k], feats)
             if est.solver_flag == Estimator.NON_LINEAR:
                 p, q = est.pose
@@ -207,6 +241,8 @@ def replay_images(sim: dict, cfg=None, est: Estimator | None = None,
                     writer.row([t[k] * 1e9, *p, *est.velocity, *kf[0:3],
                                 *kf[3:6], *gt_k, *est.rho[-1]])
     est.flush()   # adopt the in-flight pipelined solve
+    if pool is not None:
+        pool.shutdown(wait=True)
     if writer is not None:
         writer.close()
     est_p = np.array(est_p) if est_p else np.zeros((0, 3))

@@ -85,10 +85,11 @@ class DeviceTracker:
         valid = np.zeros((N,), bool)
         valid[:n] = True
         guess = pts.copy()
-        if self.predict_pts:
+        predict = self.predict_pts   # snapshot: see FeatureTracker.track
+        if predict:
             for i, fid in enumerate(self.ids):
-                if fid in self.predict_pts:
-                    guess[i] = self.predict_pts[fid]
+                if fid in predict:
+                    guess[i] = predict[fid]
         prio = np.full((N,), -1, np.int32)
         prio[:n] = np.minimum(self.track_cnt, 2**30)
         return pts, valid, guess, prio

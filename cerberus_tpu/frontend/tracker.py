@@ -91,14 +91,18 @@ class FeatureTracker:
             img0 = self.clahe.apply(img0)
 
         cur_pts = np.zeros((0, 2), np.float32)
+        # snapshot once: set_prediction may run from another thread while a
+        # lookahead track() is in flight (data/replay.py pipelined front
+        # end); the callback replaces the dict, so the snapshot stays valid
+        predict = self.predict_pts
         if len(self.prev_pts):
             # seed with predictions when available (feature_tracker.cpp:112-133)
             seeds = self.prev_pts.copy()
             use_seed = False
-            if self.predict_pts:
+            if predict:
                 for i, fid in enumerate(self.ids):
-                    if fid in self.predict_pts:
-                        seeds[i] = self.predict_pts[fid]
+                    if fid in predict:
+                        seeds[i] = predict[fid]
                         use_seed = True
             flags = cv2.OPTFLOW_USE_INITIAL_FLOW if use_seed else 0
             cur, st, _ = cv2.calcOpticalFlowPyrLK(

@@ -69,10 +69,15 @@ def optimize_pose_graph(p, yaw, e_i, e_j, rel_p, rel_yaw, e_w, e_mask,
             r = _edge_residual(zero8, p, yaw, i, j, rp, ry)
             J = jax.jacfwd(_edge_residual)(zero8, p, yaw, i, j, rp, ry)
             s = jnp.where(m, w, 0.0)
-            # Cauchy IRLS: sqrt(rho'(||r||^2)) with rho(s) = c^2 log(1+s/c^2)
-            nr2 = jnp.sum((r * s) ** 2)
+            # Huber IRLS: weight sqrt(min(1, c/|r|)) — influence BOUNDED
+            # beyond c but monotone, so a large TRUE loop correction (e.g.
+            # 0.9 m of accumulated drift on a 670 m run) still pulls and
+            # converges over the GN iterations; Cauchy's decaying influence
+            # rejected exactly those corrections (measured: corrected
+            # endpoint stuck at odometric on the 6-lap run)
+            nr = jnp.sqrt(jnp.sum((r * s) ** 2) + 1e-12)
             cw = jnp.where(rb,
-                           1.0 / jnp.sqrt(1.0 + nr2 / robust_scale ** 2),
+                           jnp.sqrt(jnp.minimum(1.0, robust_scale / nr)),
                            1.0)
             s = s * cw
             return r * s, J * s

@@ -46,6 +46,9 @@ def main():
                     help="front-end for --images: OpenCV or on-device KLT")
     ap.add_argument("--no-predict", action="store_true",
                     help="disable feature prediction seeding")
+    ap.add_argument("--loop-kf-dist", type=float, default=0.25,
+                    help="pose-graph keyframe spacing (m); raise for runs "
+                         "long enough to saturate the 2048-node pool")
     ap.add_argument("--loop", action="store_true",
                     help="run loop closure and report corrected drift")
     ap.add_argument("--robot", default="a1", choices=["a1", "go1"],
@@ -96,7 +99,7 @@ def main():
     images_for_loop = {}
     if args.loop:
         from cerberus_tpu.loop.closer import LoopCloser
-        closer = LoopCloser(cfg)
+        closer = LoopCloser(cfg, min_kf_dist=args.loop_kf_dist)
 
         def on_keyframe(t, p, q, ids, obs):
             img = images_for_loop.pop(round(float(t), 6), None)
