@@ -129,6 +129,18 @@ class NoiseConfig:
     # measured 2.0% EKF-only drift at 60 s vs 0.5% with bias states)
     ekf_acc_bias_walk: float = 2e-3
     ekf_gyr_bias_walk: float = 2e-4
+    # innovation-gated slip rejection: a leg whose whitened velocity
+    # innovation exceeds this chi^2_3 value gets its measurements inflated
+    # proportionally (one-step M-estimator); 0 disables
+    ekf_slip_gate_chi2: float = 11.34
+    # stance measurement-noise inflation per unit of normalized
+    # short-window force variance (slipping/transient stance phases carry
+    # high force variance); 0 disables. Default off: on the slip-realistic
+    # config-1 sweep it consistently measured WORSE (1.18 vs 1.04 % drift
+    # at rescale 25 — gait-periodic force variance de-weights healthy
+    # stance too); kept for force sensors whose variance actually
+    # discriminates slip
+    ekf_force_var_rescale: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -151,6 +163,10 @@ class EstimatorConfig:
     # (reference only runs PnP in NON_LINEAR when !USE_IMU,
     # estimator.cpp:806-808; the recovery gate is this framework's addition)
     pnp_fallback: bool = True
+    # drop the inertial factor of an interval whose IMU samples contain a
+    # long bitwise-identical run (hung driver); False restores exact
+    # reference semantics (the reference integrates the hang)
+    stale_imu_guard: bool = True
     # keep camera-IMU time-offset information in the marginalization prior.
     # The reference does (td is a parameter block of every marginalized
     # projection factor) — but that anchors td at its early estimate: with a

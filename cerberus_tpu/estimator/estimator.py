@@ -358,9 +358,12 @@ class Estimator:
         self.predicted_pts: dict[int, np.ndarray] = {}
         # reboots survives clear_state so replays can report recovery events
         # (reference: failureDetection -> clearState, estimator.cpp:823-831)
-        reboots = getattr(self, "stats", {}).get("reboots", 0)
+        prev_stats = getattr(self, "stats", {})
         self.stats = {"solves": 0, "solve_time": 0.0, "keyframes": 0,
-                      "reboots": reboots, "dispatches": 0}
+                      "reboots": prev_stats.get("reboots", 0),
+                      "dispatches": 0}
+        if "failure_reasons" in prev_stats:
+            self.stats["failure_reasons"] = prev_stats["failure_reasons"]
 
         # static per-config streaming-kernel arguments (host numpy)
         cw = np.zeros(13)
@@ -440,6 +443,17 @@ class Estimator:
             self._pending_frames.append((t, feats))
             self.stats["deferred_frames"] = \
                 self.stats.get("deferred_frames", 0) + 1
+            # bounded deferral: a permanently stalled proprio stream must
+            # degrade to vision-only processing, not freeze all output
+            # behind an unbounded queue. Past ~10 frames (0.7 s of camera
+            # at 15 Hz — far beyond any legitimate td), process the oldest
+            # frame anyway: its interval extract comes up empty, so the
+            # frame rides vision (PnP fallback), the pre-deferral behavior.
+            if len(self._pending_frames) > 10:
+                t_old, f_old = self._pending_frames.pop(0)
+                self.stats["stalled_frames"] = \
+                    self.stats.get("stalled_frames", 0) + 1
+                self._process_image(t_old, f_old)
             return
         self._process_image(t, feats)
 
@@ -548,7 +562,13 @@ class Estimator:
                     dp = np.linalg.norm(res[0] - self.p[C.WINDOW_SIZE])
                     dang = _rot_angle_np(
                         R_w[C.WINDOW_SIZE].T @ res[1])
-                    if not self.cfg.use_imu or dp > 0.3 or dang > 0.26:
+                    # stale interval: dead-reckoning is ABSENT (the seed is
+                    # the previous frame's pose), so PnP is the only
+                    # odometry — adopt it unconditionally; the 0.3 m /
+                    # 15 deg gate is only for the watchdog against healthy
+                    # dead-reckoning
+                    if not self.cfg.use_imu or stale or dp > 0.3 \
+                            or dang > 0.26:
                         self.p[C.WINDOW_SIZE], R_w[C.WINDOW_SIZE] = res
                         self.q[C.WINDOW_SIZE] = _rot_to_quat_np(res[1])
                         p_w[C.WINDOW_SIZE] = res[0]
@@ -749,19 +769,38 @@ class Estimator:
                                                prev=self.preints[k - 1]
                                                if k > 0 else None)
 
-    @staticmethod
-    def _imu_stale(buf: IntervalBuffer | None, frac: float = 0.25) -> bool:
-        """True if more than `frac` of the interval's consecutive IMU
-        sample pairs are bitwise identical (acc AND gyr) — the signature of
+    def _imu_stale(self, buf: IntervalBuffer | None,
+                   frac: float = 0.25) -> bool:
+        """True if a CONSECUTIVE RUN of bitwise-identical IMU samples (acc
+        AND gyr) covers more than `frac` of the interval — the signature of
         a hung driver repeating its last reading; a live IMU's noise floor
-        makes exact repeats impossible."""
+        makes exact repeats impossible. The run-length form (vs any-repeats
+        fraction) avoids flagging noise-free synthetic replays or heavily
+        quantized drivers on a stationary robot, whose repeats are
+        scattered, not one frozen block. Gate with cfg.stale_imu_guard=False
+        to restore exact reference semantics (the reference integrates the
+        hang, estimator.cpp:554-653); the first fire logs a warning."""
+        if not getattr(self.cfg, "stale_imu_guard", True):
+            return False
         if buf is None or len(buf) < 4:
             return False
         acc = np.asarray(buf.acc)
         gyr = np.asarray(buf.gyr)
         rep = np.all(acc[1:] == acc[:-1], axis=1) \
             & np.all(gyr[1:] == gyr[:-1], axis=1)
-        return float(np.mean(rep)) > frac
+        # longest run of consecutive repeats
+        best = cur = 0
+        for r in rep:
+            cur = cur + 1 if r else 0
+            best = max(best, cur)
+        stale = best >= max(4, frac * len(buf))
+        if stale and not self.stats.get("stale_imu_intervals"):
+            import logging
+            logging.getLogger("cerberus_tpu").warning(
+                "stale IMU interval detected (%d identical consecutive "
+                "samples of %d): dropping inertial factor, riding vision",
+                best + 1, len(buf))
+        return stale
 
     def _pad_buffer(self, buf: IntervalBuffer):
         """Pad a raw interval buffer into fixed-size numpy arrays.
@@ -1017,6 +1056,8 @@ class Estimator:
         i = C.WINDOW_SIZE
 
         def fail(reason):
+            self.stats.setdefault("failure_reasons", []).append(
+                (float(self.headers[i]), reason))
             if getattr(self, "debug", False):
                 print(f"[failure_detection] {reason}")
             return True

@@ -29,14 +29,28 @@ from functools import partial
 from cerberus_tpu.ops import klt
 
 
-@partial(jax.jit, static_argnames=("levels", "min_dist", "max_new"))
-def _first_frame(img0_u8, levels, min_dist, max_new):
-    """Frame-0 program: pyramid + unmasked detection."""
+@partial(jax.jit, static_argnames=("levels", "half", "iters", "min_dist",
+                                   "max_new", "fb_thresh", "stereo"))
+def _first_frame(img0_u8, img1_u8, levels, half, iters, min_dist, max_new,
+                 fb_thresh, stereo):
+    """Frame-0 program: pyramid + unmasked detection + (stereo) left->right
+    LK on the detections, so frame 0's features carry right-camera
+    observations like every later frame (the reference's trackImage always
+    stereo-matches cur_pts, feature_tracker.cpp:202-245 — frame 0's depth
+    init feeds the estimator's INITIAL-phase triangulation)."""
     img0 = img0_u8.astype(jnp.float32)
     pyr0 = tuple(klt.build_pyramid(img0, levels))
     occ = jnp.zeros(img0.shape, bool)
     det_pts, det_ok = klt._detect_with_occ(img0, occ, max_new, min_dist)
-    return dict(det_pts=det_pts, det_ok=det_ok, pyr0=pyr0)
+    if stereo:
+        pyr1 = tuple(klt.build_pyramid(img1_u8.astype(jnp.float32), levels))
+        right = klt.lk_track_fb(list(pyr0), list(pyr1), det_pts, det_ok,
+                                half=half, iters=iters, fb_thresh=fb_thresh)
+        r_pts, r_ok = right.pts, right.status
+    else:
+        r_pts, r_ok = det_pts, jnp.zeros_like(det_ok)
+    return dict(det_pts=det_pts, det_ok=det_ok, r_pts=r_pts, r_ok=r_ok,
+                pyr0=pyr0)
 
 
 class DeviceTracker:
@@ -76,8 +90,10 @@ class DeviceTracker:
             img = np.clip(img, 0, 255).astype(np.uint8)
         return img
 
-    def _pad_slots(self):
-        """Pack the compacted host tracks into max_cnt static slots."""
+    def _pad_slots(self, predict):
+        """Pack the compacted host tracks into max_cnt static slots.
+        predict: the caller's snapshot of predict_pts (taken once per
+        frame so a concurrent set_prediction cannot tear mid-pack)."""
         N = self.max_cnt
         n = len(self.prev_pts)
         pts = np.zeros((N, 2), np.float32)
@@ -85,7 +101,6 @@ class DeviceTracker:
         valid = np.zeros((N,), bool)
         valid[:n] = True
         guess = pts.copy()
-        predict = self.predict_pts   # snapshot: see FeatureTracker.track
         if predict:
             for i, fid in enumerate(self.ids):
                 if fid in predict:
@@ -99,19 +114,33 @@ class DeviceTracker:
         t_wall = time.time()
         img0_u8 = self._u8(img0)
         stereo = img1 is not None and self.cam1 is not None
+        predict = self.predict_pts   # snapshot: see FeatureTracker.track
+        fb = 0.5 if self.flow_back else 1e9
         if self.prev_pyr is None:
-            out = _first_frame(jnp.asarray(img0_u8), self.levels,
-                               self.min_dist, self.max_cnt)
+            img0_d = jnp.asarray(img0_u8)
+            out = _first_frame(
+                img0_d, jnp.asarray(self._u8(img1)) if stereo else img0_d,
+                self.levels, self.half, self.iters, self.min_dist,
+                self.max_cnt, fb, stereo)
             self.stats["dispatches"] += 1
-            det_pts, det_ok = jax.device_get((out["det_pts"], out["det_ok"]))
+            det_pts, det_ok, r_pts, r_ok = jax.device_get(
+                (out["det_pts"], out["det_ok"], out["r_pts"], out["r_ok"]))
             self.prev_pyr = out["pyr0"]
-            cur_pts = det_pts[det_ok][: self.max_cnt].astype(np.float32)
+            didx = np.nonzero(det_ok)[0][: self.max_cnt]
+            cur_pts = det_pts[didx].astype(np.float32)
             self.ids = np.arange(self.next_id, self.next_id + len(cur_pts))
             self.next_id += len(cur_pts)
             self.track_cnt = np.zeros(len(cur_pts), np.int64)
             right = {}
+            if stereo and len(didx):
+                r_sel = np.nonzero(r_ok[didx])[0]
+                if len(r_sel):
+                    un_r = self.cam1.undistort_normalize(
+                        r_pts[didx][r_sel].astype(np.float32))
+                    for j, sl in enumerate(r_sel):
+                        right[int(self.ids[sl])] = un_r[j]
         else:
-            pts, valid, guess, prio = self._pad_slots()
+            pts, valid, guess, prio = self._pad_slots(predict)
             img0_d = jnp.asarray(img0_u8)
             out = klt.track_frame(
                 self.prev_pyr, img0_d,
@@ -119,7 +148,7 @@ class DeviceTracker:
                 jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(guess),
                 jnp.asarray(prio), levels=self.levels, half=self.half,
                 iters=self.iters, min_dist=self.min_dist,
-                fb_thresh=0.5 if self.flow_back else 1e9, stereo=stereo)
+                fb_thresh=fb, stereo=stereo)
             self.stats["dispatches"] += 1
             # ONE small blocking fetch; the new pyramid stays on device
             new_pts, keep, det_pts, det_ok, r_pts, r_ok = jax.device_get(
@@ -127,6 +156,7 @@ class DeviceTracker:
                  out["r_pts"], out["r_ok"]))
             self.prev_pyr = out["pyr0"]
 
+            N = self.max_cnt
             n = len(self.prev_pts)
             kept = np.nonzero(keep[:n])[0]
             cur_pts = new_pts[kept].astype(np.float32)
@@ -135,6 +165,7 @@ class DeviceTracker:
 
             right = {}
             if stereo:
+                # stereo rows [0:N] align with the tracked slots
                 r_sel = np.nonzero(r_ok[kept])[0]  # rows of cur_pts/self.ids
                 if len(r_sel):
                     un_r = self.cam1.undistort_normalize(
@@ -142,10 +173,13 @@ class DeviceTracker:
                     for j, sl in enumerate(r_sel):
                         right[int(self.ids[sl])] = un_r[j]
 
-            # replenish from the in-device detections
+            # replenish from the in-device detections; their stereo matches
+            # sit at rows [N:2N] of r_pts/r_ok (same-frame right obs for new
+            # features — see klt.track_frame docstring)
             n_new = self.max_cnt - len(cur_pts)
             if n_new > 0:
-                dets = det_pts[det_ok][:n_new].astype(np.float32)
+                didx = np.nonzero(det_ok)[0][:n_new]
+                dets = det_pts[didx].astype(np.float32)
                 if len(dets):
                     cur_pts = np.concatenate([cur_pts, dets])
                     new_ids = np.arange(self.next_id,
@@ -154,6 +188,13 @@ class DeviceTracker:
                     self.ids = np.concatenate([self.ids, new_ids])
                     self.track_cnt = np.concatenate(
                         [self.track_cnt, np.zeros(len(dets), np.int64)])
+                    if stereo:
+                        r_sel = np.nonzero(r_ok[N + didx])[0]
+                        if len(r_sel):
+                            un_r = self.cam1.undistort_normalize(
+                                r_pts[N + didx][r_sel].astype(np.float32))
+                            for j, sl in enumerate(r_sel):
+                                right[int(new_ids[sl])] = un_r[j]
 
         un = (self.cam0.undistort_normalize(cur_pts) if len(cur_pts)
               else np.zeros((0, 2)))
@@ -178,7 +219,12 @@ class DeviceTracker:
         self.prev_pts = cur_pts
         self.prev_un, self._prev_r_un = new_un, new_r_un
         self.prev_time = t
-        self.predict_pts = None
+        # compare-and-swap: only clear the snapshot this frame consumed — a
+        # set_prediction landing from the estimator thread between the
+        # snapshot and here must survive for the NEXT frame (unconditional
+        # clear silently dropped that seed)
+        if self.predict_pts is predict:
+            self.predict_pts = None
         self.stats["frames"] += 1
         self.stats["block_ms"] += 1000.0 * (time.time() - t_wall)
         return out_d

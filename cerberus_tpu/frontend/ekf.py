@@ -64,6 +64,8 @@ class EKFParams(NamedTuple):
     contact_force_thresh: jax.Array = None
     acc_bias_walk: jax.Array = None
     gyr_bias_walk: jax.Array = None
+    slip_gate_chi2: jax.Array = None
+    force_var_rescale: jax.Array = None
 
     @staticmethod
     def from_config(cfg: EstimatorConfig, dtype=jnp.float64) -> "EKFParams":
@@ -81,6 +83,8 @@ class EKFParams(NamedTuple):
             contact_force_thresh=f(nz.ekf_contact_force_thresh),
             acc_bias_walk=f(nz.ekf_acc_bias_walk),
             gyr_bias_walk=f(nz.ekf_gyr_bias_walk),
+            slip_gate_chi2=f(nz.ekf_slip_gate_chi2),
+            force_var_rescale=f(nz.ekf_force_var_rescale),
         )
 
 
@@ -93,6 +97,15 @@ class EKFState(NamedTuple):
     bg: jax.Array       # (3,) gyro bias
     P: jax.Array        # (27, 27)
     contacts: jax.Array  # (4,) smoothed contact probability
+    # filtered foot-force statistics for contact estimation (the kf_lib
+    # design estimates contact probability from force statistics, not a
+    # fixed threshold; same adaptive min/max tracker as the
+    # preintegration's force-sigmoid model, ops/preintegration.py:388-401 /
+    # reference imu_leg_integration_base.cpp:183-229)
+    ff_min: jax.Array   # (4,) decaying force-minimum tracker
+    ff_max: jax.Array   # (4,) decaying force-maximum tracker
+    ff_window: jax.Array  # (4, W) recent forces for the variance term
+    ff_idx: jax.Array   # () int32 ring index
 
 
 def ekf_init(p, q, phi, params: EKFParams) -> EKFState:
@@ -111,7 +124,10 @@ def ekf_init(p, q, phi, params: EKFParams) -> EKFState:
     P = P.at[24:27, 24:27].set(jnp.eye(3, dtype=dtype) * 0.01 ** 2)
     return EKFState(p=p, v=jnp.zeros(3, dtype), q=q, pf=pf,
                     ba=jnp.zeros(3, dtype), bg=jnp.zeros(3, dtype), P=P,
-                    contacts=jnp.ones(4, dtype))
+                    contacts=jnp.ones(4, dtype),
+                    ff_min=jnp.zeros(4, dtype), ff_max=jnp.zeros(4, dtype),
+                    ff_window=jnp.zeros((4, C.FOOT_VAR_WINDOW_SIZE), dtype),
+                    ff_idx=jnp.zeros((), jnp.int32))
 
 
 def ekf_step(s: EKFState, dt, acc, gyr, phi, dphi, foot_force,
@@ -120,9 +136,33 @@ def ekf_step(s: EKFState, dt, acc, gyr, phi, dphi, foot_force,
     dtype = s.p.dtype
     I3 = jnp.eye(3, dtype=dtype)
 
-    # ---- contact probability from foot force (schmitt-ish sigmoid) ----
-    contact = jax.nn.sigmoid((foot_force - params.contact_force_thresh) / 5.0)
+    # ---- contact probability from FILTERED FORCE STATISTICS ----
+    # Adaptive per-leg normalization instead of a fixed newton threshold:
+    # decaying min/max trackers place the stance/swing decision boundary at
+    # a fixed fraction of each leg's observed force range, so the estimate
+    # survives load shifts, slopes and payload changes that move the
+    # absolute force scale (kf_lib behavior; identical tracker to the
+    # preintegration's type-2 model / imu_leg_integration_base.cpp:183-229).
+    ff_min = jnp.where(foot_force < s.ff_min,
+                       0.9 * s.ff_min + 0.1 * foot_force, s.ff_min)
+    ff_max = jnp.where(foot_force > s.ff_max,
+                       0.9 * s.ff_max + 0.1 * foot_force, s.ff_max)
+    ff_min = ff_min * 0.9991
+    ff_max = ff_max * 0.997
+    rng = jnp.maximum(ff_max - ff_min, 1e-6)
+    thres = ff_min + 0.5 * rng
+    # steepness in NORMALIZED force units (6/range): scale-free, saturating
+    # near the range extremes
+    contact = jax.nn.sigmoid(6.0 * (foot_force - thres) / rng)
     contacts = 0.8 * s.contacts + 0.2 * contact
+    ff_idx = (s.ff_idx + 1) % C.FOOT_VAR_WINDOW_SIZE
+    ff_window = s.ff_window.at[:, ff_idx].set(foot_force)
+    ff_mean = jnp.mean(ff_window, axis=1, keepdims=True)
+    # normalized short-window force variance: impact transients / slipping
+    # stance phases carry high variance -> de-weight that leg's kinematic
+    # measurements below
+    ff_var_n = jnp.sum((ff_window - ff_mean) ** 2, axis=1) \
+        / (C.FOOT_VAR_WINDOW_SIZE - 1) / (rng * rng)
 
     # ---- propagate (bias-corrected IMU) ----
     acc_u = acc - s.ba
@@ -184,13 +224,38 @@ def ekf_step(s: EKFState, dt, acc, gyr, phi, dphi, foot_force,
         # noise: inflate hugely out of contact (gate at p=0.5; a smooth
         # 1+(1-c)*BIG would still inflate ~2500x at c=0.9975 and de-weight
         # solid stance — hard gating matches the reference's binary use of
-        # contact flags for type-0 sensing)
-        infl = jnp.where(contact[j] > 0.5, 1.0, 1e8)
+        # contact flags for type-0 sensing). In stance, the short-window
+        # force variance additionally de-weights transient/slipping phases
+        # (the preintegration's n2 term, imu_leg_integration_base.cpp:
+        # 290-317 rescaled variance).
+        infl = jnp.where(contact[j] > 0.5,
+                         1.0 + params.force_var_rescale * ff_var_n[j], 1e8)
         Rdiag = Rdiag.at[3 * j:3 * j + 3].set(params.meas_fk_n ** 2 * infl)
         Rdiag = Rdiag.at[12 + 3 * j:15 + 3 * j].set(
             params.meas_vel_n ** 2 * infl)
         Rdiag = Rdiag.at[24 + j].set(params.meas_height_n ** 2 * infl)
 
+    # ---- innovation-gated slip rejection (two-pass update) ----
+    # A slipping foot passes the contact test (force stays high) but its
+    # kinematic velocity measurement is inconsistent with the filter state.
+    # Whiten each leg's velocity-innovation by its predicted covariance; a
+    # leg beyond the chi^2_3 99% gate (11.34) gets its measurements
+    # inflated in proportion before the real update — a one-step
+    # M-estimator on the leg channel.
+    S = H @ P @ H.T + jnp.diag(Rdiag)
+    gate = params.slip_gate_chi2
+    infl2 = jnp.ones((zdim,), dtype)
+    for j in range(4):
+        sl = slice(12 + 3 * j, 15 + 3 * j)
+        Sj = S[sl, sl]
+        rj = r[sl]
+        m = rj @ jnp.linalg.solve(Sj, rj)
+        fac = jnp.where(gate > 0,
+                        jnp.maximum(m / jnp.maximum(gate, 1e-9), 1.0), 1.0)
+        infl2 = infl2.at[3 * j:3 * j + 3].mul(fac)
+        infl2 = infl2.at[sl].mul(fac)
+        infl2 = infl2.at[24 + j].mul(fac)
+    Rdiag = Rdiag * infl2
     S = H @ P @ H.T + jnp.diag(Rdiag)
     K = jnp.linalg.solve(S, H @ P).T        # (27, zdim)
     dx = K @ r
@@ -203,7 +268,8 @@ def ekf_step(s: EKFState, dt, acc, gyr, phi, dphi, foot_force,
     pf_up = s.pf + dx[9:21].reshape(4, 3)
     return EKFState(p=p_up, v=v_up, q=q_up, pf=pf_up,
                     ba=s.ba + dx[21:24], bg=s.bg + dx[24:27], P=P_up,
-                    contacts=contacts)
+                    contacts=contacts, ff_min=ff_min, ff_max=ff_max,
+                    ff_window=ff_window, ff_idx=ff_idx)
 
 
 class LeggedEKF:

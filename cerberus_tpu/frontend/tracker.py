@@ -174,7 +174,10 @@ class FeatureTracker:
         self.prev_un = new_un
         self._prev_r_un = new_r_un
         self.prev_time = t
-        self.predict_pts = None
+        # compare-and-swap: clear only the snapshot this frame consumed (a
+        # concurrent set_prediction must survive for the next frame)
+        if self.predict_pts is predict:
+            self.predict_pts = None
         return out
 
     # ------------------------------------------------------------------

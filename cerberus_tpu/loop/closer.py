@@ -36,7 +36,8 @@ class LoopCloser:
                  optimize_every: int = 10, min_kf_dist: float = 0.25,
                  min_kf_yaw: float = 0.2, seq_window: int = 5,
                  seq_radius: int = 8, strong_sim: float = 0.90,
-                 seq_weight: float = 100.0, loop_weight: float = 10.0):
+                 seq_weight: float = 100.0, loop_weight: float = 10.0,
+                 robust_kind: str = "cauchy"):
         # min_sim gates only the PROPOSAL; every candidate still has to
         # survive mutual-best ZNCC patch matching and RANSAC PnP before an
         # edge is added, so a permissive default is safe (0.85 found zero
@@ -59,7 +60,8 @@ class LoopCloser:
         # dominates only across chains long enough for accumulated drift
         # to exceed PnP noise; a deliberately-bad odometry source should
         # pass a lower seq_weight.
-        self.pg = PoseGraph(auto_detect=False, seq_weight=seq_weight)
+        self.pg = PoseGraph(auto_detect=False, seq_weight=seq_weight,
+                            robust_kind=robust_kind)
         self.loop_weight = loop_weight
         self.index = desc.PlaceIndex()
         self.db: list[dict] = []

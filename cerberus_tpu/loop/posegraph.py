@@ -123,7 +123,9 @@ class PoseGraph:
 
     def __init__(self, capacity_nodes=512, capacity_edges=2048,
                  min_overlap=20, min_gap=30, dtype=jnp.float64,
-                 auto_detect=True, max_nodes=2048, seq_weight=100.0):
+                 auto_detect=True, max_nodes=2048, seq_weight=100.0,
+                 robust_kind: str = "cauchy", robust_scale: float = 2.0,
+                 prune_chi2: float = 25.0):
         self.Nc, self.Ec = capacity_nodes, capacity_edges
         self.max_nodes = max_nodes
         self.dtype = dtype
@@ -136,6 +138,14 @@ class PoseGraph:
         self.min_overlap = min_overlap
         self.min_gap = min_gap
         self.seq_weight = seq_weight
+        self.robust_kind = robust_kind
+        self.robust_scale = robust_scale
+        # consistency guard (see optimize): whitened-residual^2 above which
+        # a loop edge is pruned as an outlier at the solution. A correct
+        # PnP edge (~0.1-0.2 m noise at weight 10) lands at nr2 ~ 1-4;
+        # 25 is a ~5-sigma gate on the 4-dim edge.
+        self.prune_chi2 = prune_chi2
+        self.stats = {"rollbacks": 0, "pruned_edges": 0, "optimizes": 0}
         # feature-id-overlap loop proposal (uses the CURRENT relative
         # estimate as the edge measurement). Disable when an external
         # verified front-end (LoopCloser: place index + ZNCC + RANSAC PnP)
@@ -215,15 +225,76 @@ class PoseGraph:
                            weight))
         self.n_loop_edges += 1
 
+    def _edge_costs(self, p, yaw):
+        """(total robust cost, per-edge (is_loop, whitened nr2)) at (p, yaw)
+        — the same weighting/robust loss the device IRLS minimizes, on the
+        host (a few thousand tiny edges: microseconds of numpy)."""
+        total = 0.0
+        per_edge = []
+        c = self.robust_scale
+        for (i, j, rp, ry, w) in self.edges:
+            Ri = _np_rot_z(yaw[i])
+            r_p = Ri.T @ (p[j] - p[i]) - rp
+            dy = yaw[j] - yaw[i] - ry
+            dy = np.arctan2(np.sin(dy), np.cos(dy))
+            nr2 = float(w * w * (np.sum(r_p ** 2) + dy * dy))
+            is_loop = (j - i) != 1
+            if is_loop:
+                if self.robust_kind == "huber":
+                    nr = np.sqrt(nr2)
+                    cost = 0.5 * nr2 if nr <= c else c * nr - 0.5 * c * c
+                else:
+                    cost = 0.5 * c * c * np.log1p(nr2 / (c * c))
+            else:
+                cost = 0.5 * nr2
+            total += cost
+            per_edge.append((is_loop, nr2))
+        return total, per_edge
+
     def optimize(self, iters: int = 8):
         """Run the device GN over the padded pools; updates node states.
 
         A no-op without loop edges: the sequential chain is consistent by
         construction (its residuals are zero at the current estimate), so
         optimizing it alone would only round-trip the state through the
-        solver."""
+        solver.
+
+        Consistency guard (the loop corrector must never make the graph
+        worse — the reference's loop_fusion role is an always-on corrector,
+        launch/hardware_a1_vilo.launch:8-10): (a) if the optimized state has
+        HIGHER total robust cost than the entry state, the optimize is
+        rolled back (fixed-damping GN+IRLS is not monotone); (b) loop edges
+        whose whitened residual^2 still exceeds prune_chi2 at the solution
+        are outliers the robust loss could only damp, not neutralize —
+        they are pruned, the entry state restored, and the graph
+        re-optimized without them (<= 3 rounds)."""
         if self.n < 2 or not self.edges or self.n_loop_edges == 0:
             return
+        for _ in range(3):
+            p0 = self.p.copy()
+            yaw0 = self.yaw.copy()
+            c0, _ = self._edge_costs(p0, yaw0)
+            self._optimize_once(iters)
+            self.stats["optimizes"] += 1
+            c1, per_edge = self._edge_costs(self.p, self.yaw)
+            if c1 > c0 + 1e-9:
+                self.p, self.yaw = p0, yaw0
+                self.stats["rollbacks"] += 1
+                return
+            bad = [k for k, (is_loop, nr2) in enumerate(per_edge)
+                   if is_loop and nr2 > self.prune_chi2]
+            if not bad:
+                return
+            self.edges = [e for k, e in enumerate(self.edges)
+                          if k not in set(bad)]
+            self.n_loop_edges -= len(bad)
+            self.stats["pruned_edges"] += len(bad)
+            # restore the entry state and re-optimize without the outliers
+            self.p, self.yaw = p0, yaw0
+            if self.n_loop_edges <= 0:
+                return
+
+    def _optimize_once(self, iters: int = 8):
         N = self.Nc
         # pad the edge pool to the next power of two >= the live edge count
         # (bounded recompiles; the old fixed Ec silently DROPPED edges
@@ -247,7 +318,8 @@ class PoseGraph:
         p, yaw = self._opt(f(self.p), f(self.yaw), jnp.asarray(e_i),
                            jnp.asarray(e_j), f(rel_p), f(rel_yaw), f(e_w),
                            jnp.asarray(e_mask), jnp.asarray(e_robust),
-                           iters=iters)
+                           iters=iters, robust_scale=self.robust_scale,
+                           robust_kind=self.robust_kind)
         self.p, self.yaw = np.array(p), np.array(yaw)
 
 

@@ -25,6 +25,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cerberus_tpu import config as C
 from cerberus_tpu.kinematics.leg import all_legs_fk_jac
@@ -639,7 +640,23 @@ def il_preintegrate_parallel(dt, acc, gyr, phi, dphi, c, mask, ba, bg, rho,
     tests/test_preintegration.py::test_parallel_matches_sequential); the
     sequential version itself is pinned loop-by-loop to the reference C++
     by tests/test_golden_reference.py.
+
+    MASK CONTRACT: `mask` must be contiguous-valid with trailing padding
+    (True on samples [1, n), False elsewhere — what _pad_buffer/extract
+    produce). For a mask with INTERIOR holes the two forms diverge: the
+    sequential scan carries the last valid sample across a hole (pairing
+    it with the next valid input), while this form pairs adjacent raw
+    samples and only zeroes dt across the hole. Concrete (non-traced)
+    masks are checked; traced masks are the caller's responsibility.
     """
+    if not isinstance(mask, jax.core.Tracer):
+        m = np.asarray(mask).astype(bool)
+        if m.any():
+            first = int(np.argmax(m))
+            n_true = int(m.sum())
+            assert m[first:first + n_true].all(), \
+                "il_preintegrate_parallel requires a contiguous mask " \
+                "(trailing padding only); got interior holes"
     dtype = acc.dtype
     S = acc.shape[0]
     T = S - 1

@@ -51,6 +51,12 @@ def main():
                          "long enough to saturate the 2048-node pool")
     ap.add_argument("--loop", action="store_true",
                     help="run loop closure and report corrected drift")
+    ap.add_argument("--prerender", action="store_true",
+                    help="render all frames BEFORE the timed replay "
+                         "(camera frames on a real robot cost the VILO "
+                         "process nothing; the software renderer is sim "
+                         "overhead) — realtime_factor then measures "
+                         "track->solve->adopt only")
     ap.add_argument("--robot", default="a1", choices=["a1", "go1"],
                     help="go1 = force-sigmoid contacts (type 2) with leg "
                          "bias fixed, per the reference's Go1 config "
@@ -107,10 +113,16 @@ def main():
 
         est.keyframe_callback = on_keyframe
 
-    t0 = time.time()
+    prerender_s = None
     if args.images:
         from cerberus_tpu.data.simulator import ImageRenderer
         renderer = ImageRenderer(sim, cfg)
+        if args.prerender:
+            from cerberus_tpu.data.simulator import PrerenderedFrames
+            renderer = PrerenderedFrames(
+                renderer, sorted(set(int(i) for i in sim["cam_idx"])),
+                progress=True)
+            prerender_s = renderer.prerender_s
         tracker = None
         if args.tracker == "device":
             from cerberus_tpu.frontend.device_tracker import DeviceTracker
@@ -138,10 +150,12 @@ def main():
                         images_for_loop.pop(next(iter(images_for_loop)))
                     return im0, im1
             renderer = _LoopRenderer(renderer, sim)
+        t0 = time.time()
         out = replay_images(sim, est=est, tracker=tracker, renderer=renderer,
                             csv_path=args.csv,
                             use_prediction=not args.no_predict)
     else:
+        t0 = time.time()
         out = replay(sim, est=est, csv_path=args.csv)
     wall = time.time() - t0
     realtime = args.duration / wall
@@ -168,6 +182,9 @@ def main():
     if args.images:
         result["render_ms_per_frame"] = round(out["render_ms_per_frame"], 1)
         result["track_ms_per_frame"] = round(out["track_ms_per_frame"], 1)
+        if prerender_s is not None:
+            result["prerendered"] = True
+            result["prerender_s"] = round(prerender_s, 1)
     if closer is not None:
         closer.finish()
         kf_t = closer.times()
@@ -184,6 +201,9 @@ def main():
         result["loop"] = dict(
             loops_found=closer.loops_found,
             loops_rejected=closer.loops_rejected,
+            rollbacks=closer.pg.stats["rollbacks"],
+            pruned_edges=closer.pg.stats["pruned_edges"],
+            optimizes=closer.pg.stats["optimizes"],
             best_sim=round(closer.best_sim, 3),
             keyframes=closer.pg.n,
             kf_skipped=closer.kf_skipped,
