@@ -79,7 +79,17 @@ def main():
     opts = SolveOptions(max_iters=12)
     # return a scalar so timing includes a forced value fetch: on relayed/async
     # backends block_until_ready alone does NOT guarantee execution finished
-    solve = jax.jit(jax.vmap(lambda s, d: solve_window(s, d, opts)[0].p[0, 0]))
+    lane = os.environ.get("BENCH_LANE_CHOL", "1" if on_tpu else "0") == "1"
+    if lane:
+        # lane-batched Schur/Cholesky path (ops/lane_cholesky): same LM
+        # math, the per-iteration dense solve runs as ONE Pallas kernel
+        # with the batch on the lane axis (see solver.solve_window_batched)
+        from cerberus_tpu.ops.solver import solve_window_batched
+        solve = jax.jit(
+            lambda s, d: solve_window_batched(s, d, opts)[0].p[:, 0, 0])
+    else:
+        solve = jax.jit(jax.vmap(
+            lambda s, d: solve_window(s, d, opts)[0].p[0, 0]))
 
     import jax.numpy as _jnp
 
@@ -99,15 +109,22 @@ def main():
     wps = B / dt
 
     # single-window latency (the real-time serving metric; reference budget
-    # is 0.1 s/solve, yaml max_solver_time)
+    # is 0.1 s/solve, yaml max_solver_time) — always the production
+    # streaming solver (solve_window), independent of the batched path
+    solve_one = jax.jit(jax.vmap(
+        lambda s, d: solve_window(s, d, opts)[0].p[0, 0]))
     one_states = jax.tree.map(lambda x: x[:1], states)
     one_datas = jax.tree.map(lambda x: x[:1], datas)
-    run_once(one_states, one_datas)
+
+    def run_one(sts, dts):
+        return float(_jnp.sum(solve_one(sts, dts)))
+
+    run_one(one_states, one_datas)
     lat = []
     for i in range(reps):
         sts = one_states._replace(p=one_states.p + 1e-7 * i)
         t0 = time.time()
-        run_once(sts, one_datas)
+        run_one(sts, one_datas)
         lat.append(time.time() - t0)
     lat_ms = float(np.median(lat)) * 1000
 

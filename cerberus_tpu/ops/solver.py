@@ -228,6 +228,109 @@ def _solve_window_impl(state: fac.WindowState, data: fac.WindowData,
     return st, SolveInfo(cost0=cost0, cost=cost, lam=lam, accepted=acc)
 
 
+def solve_window_batched(states: fac.WindowState, datas: fac.WindowData,
+                         opts: SolveOptions = SolveOptions(),
+                         lane_chol: bool | None = None):
+    """Batched LM over B windows with the linear solve LANE-BATCHED.
+
+    `jax.vmap(solve_window)` hides the batch from the per-iteration
+    Cholesky: XLA factors B independent (D, D) systems with its generic
+    batched cholesky + cho_solve, measured 8.6 ms of the 18.7 ms LM
+    iteration at B=128 (evals/profile_inloop.py). This variant runs the
+    SAME assembly/accept/damping math vmapped, but forms the reduced Schur
+    system for the whole batch and solves it with one fused Pallas kernel
+    that puts the batch on the 128-lane axis (ops/lane_cholesky) — factor
+    and both triangular substitutions in one VMEM-resident program.
+
+    Semantics vs vmap(solve_window): identical update rules; runs a fixed
+    `max_iters` iterations with per-window accept/freeze (a vmapped
+    while_loop also runs until the last window converges, so the cost
+    profile matches); requires opts.structured & opts.schur &
+    opts.project_gauge. Iterates agree with the vmapped path to roundoff
+    (tests/test_lane_cholesky.py pins it).
+
+    lane_chol: force the Pallas path on/off; None = on when a TPU is
+    present (interpret-mode Pallas on CPU is correct but slow, so CPU
+    defaults to the XLA solve in the same batched structure)."""
+    assert opts.structured and opts.schur and opts.project_gauge
+    if lane_chol is None:
+        lane_chol = jax.devices()[0].platform != "cpu"
+    from cerberus_tpu.ops.lane_cholesky import (LANES, lane_cholesky_solve,
+                                                lane_cholesky_solve_ref)
+    from cerberus_tpu.ops.structured import build_normal_equations_blocks
+
+    B = states.p.shape[0]
+    F = datas.f_valid.shape[1]
+    dtype = states.p.dtype
+
+    with jax.default_matmul_precision("highest"):
+        def assemble_one(st, d):
+            H_pp, H_pd, h_dd, b_p, b_d, r0 = \
+                build_normal_equations_blocks(st, d)
+            H_pp, H_pd, b_p = _project_gauge_blocks(H_pp, H_pd, b_p, st,
+                                                    d.free_mask)
+            return (H_pp, H_pd, h_dd, b_p, b_d), fac.robust_cost(r0, F)
+
+        assemble = jax.vmap(assemble_one)
+
+        def solve_step(pieces, lam):
+            """Batched _damped_solve_schur with the dense solve batched
+            across lanes. Same Jacobi equilibration and damping."""
+            H_pp, H_pd, h_dd, b_p, b_d = pieces
+            D = H_pp.shape[1]
+            d_p = jnp.sqrt(jnp.maximum(
+                jnp.diagonal(H_pp, axis1=1, axis2=2), opts.diag_floor))
+            d_d = jnp.sqrt(jnp.maximum(h_dd, opts.diag_floor))
+            Hs_pp = H_pp / (d_p[:, :, None] * d_p[:, None, :])
+            Hs_pd = H_pd / (d_p[:, :, None] * d_d[:, None, :])
+            a_dd = h_dd / (d_d * d_d) + lam[:, None] + 1e-12
+            eye = jnp.eye(D, dtype=dtype)
+            A_pp = Hs_pp + (lam[:, None, None] + 1e-12) * eye
+            W = Hs_pd / a_dd[:, None, :]
+            S = A_pp - jnp.einsum("bdf,bef->bde", W, Hs_pd)
+            rhs = -b_p / d_p + jnp.einsum("bdf,bf->bd", W, b_d / d_d)
+            if lane_chol and B % LANES == 0:
+                y_p = lane_cholesky_solve(S, rhs)
+            else:
+                y_p = lane_cholesky_solve_ref(S, rhs)
+            y_d = (-b_d / d_d
+                   - jnp.einsum("bdf,bd->bf", Hs_pd, y_p)) / a_dd
+            return jnp.concatenate([y_p / d_p, y_d / d_d], axis=1)
+
+        pieces0, cost0 = assemble(states, datas)
+
+        def body(carry, _):
+            st, pieces, lam, cost, done, acc = carry
+            dx = solve_step(pieces, lam)
+            mx = jnp.max(jnp.abs(dx), axis=1, keepdims=True)
+            dx = dx * jnp.minimum(1.0, opts.step_clip
+                                  / jnp.maximum(mx, 1e-30))
+            cand = jax.vmap(fac.retract)(st, dx)
+            cand_pieces, new_cost = assemble(cand, datas)
+            ok = (new_cost < cost) & ~done
+            pick = lambda a, b_: jnp.where(
+                ok.reshape((B,) + (1,) * (a.ndim - 1)), a, b_)
+            st2 = jax.tree.map(pick, cand, st)
+            pieces2 = jax.tree.map(pick, cand_pieces, pieces)
+            done2 = done | (ok & (cost - new_cost
+                                  <= opts.function_tolerance * cost))
+            lam2 = jnp.where(done, lam, jnp.where(
+                ok, jnp.maximum(lam / opts.lam_down, opts.lam_min),
+                jnp.minimum(lam * opts.lam_up, opts.lam_max)))
+            cost2 = jnp.where(ok, new_cost, cost)
+            return (st2, pieces2, lam2, cost2, done2,
+                    acc + ok.astype(jnp.int32)), None
+
+        lam0 = jnp.full((B,), opts.lam0, dtype)
+        done0 = jnp.zeros((B,), bool)
+        acc0 = jnp.zeros((B,), jnp.int32)
+        (st, _, lam, cost, _, acc), _ = jax.lax.scan(
+            body, (states, pieces0, lam0, cost0, done0, acc0), None,
+            length=opts.max_iters)
+        st = jax.vmap(reanchor)(states, st)
+        return st, SolveInfo(cost0=cost0, cost=cost, lam=lam, accepted=acc)
+
+
 def reanchor(old: fac.WindowState, new: fac.WindowState) -> fac.WindowState:
     """Re-fix the gauge: keep frame-0 position and yaw at their pre-solve
     values (reference: estimator.cpp:903-1000)."""

@@ -68,7 +68,9 @@ def main():
     opts = SolveOptions(max_iters=12)
 
     def timed(fn, tag, *xs):
-        """Median wall of fn over varied inputs, with a forced fetch."""
+        """Median wall of a jitted fn that returns ONE scalar (reduced
+        inside the program — per-leaf eager reductions through the relay
+        would dominate), over varied inputs, with a forced value fetch."""
         fn(*xs)  # compile+warm
         ts = []
         for i in range(args.reps):
@@ -76,22 +78,27 @@ def main():
                 lambda a: a + jnp.asarray(1e-7 * (i + 1), a.dtype)
                 if jnp.issubdtype(a.dtype, jnp.floating) else a, xs)
             t0 = time.time()
-            out = fn(*xs2)
-            # force a value fetch of ONE scalar derived from everything
-            leaves = [l for l in jax.tree.leaves(out)
-                      if jnp.issubdtype(l.dtype, jnp.floating)]
-            float(sum(jnp.sum(l) * 0 for l in leaves[1:])
-                  + jnp.sum(leaves[0]))
+            float(fn(*xs2))
             ts.append(time.time() - t0)
         ms = float(np.median(ts)) * 1000
         print(f"{tag}: {ms:.2f} ms total, {ms/B*1000:.1f} us/window", flush=True)
         return ms
 
+    def scalar_of(out):
+        leaves = [l for l in jax.tree.leaves(out)
+                  if jnp.issubdtype(l.dtype, jnp.floating)]
+        return sum(jnp.sum(l) for l in leaves)
+
     with jax.default_matmul_precision("highest"):
+        # null roundtrip through the relay (per-dispatch latency floor)
+        null = jax.jit(lambda x: jnp.sum(x) + 1.0)
+        t_null = timed(lambda x: null(x), "null_roundtrip",
+                       jnp.zeros((4,), dtype))
+
         # full production solve
         solve = jax.jit(jax.vmap(
-            lambda s, d: solve_window(s, d, opts)[0].p))
-        t_full = timed(lambda s, d: solve(s, d), "full_solve_12it",
+            lambda s, d: solve_window(s, d, opts)[0].p[0, 0]))
+        t_full = timed(lambda s, d: jnp.sum(solve(s, d)), "full_solve_12it",
                        states, datas)
 
         # stage 1: one assembly (blocks + gauge projection + robust cost)
@@ -103,42 +110,47 @@ def main():
             return H_pp, H_pd, h_dd, b_p, b_d, fac.robust_cost(r0, F)
 
         asm = jax.jit(jax.vmap(assemble_once))
-        t_asm = timed(lambda s, d: asm(s, d), "assembly_x1", states, datas)
+        asm_s = jax.jit(lambda s, d: scalar_of(asm(s, d)))
+        t_asm = timed(asm_s, "assembly_x1", states, datas)
 
         # stage 2: one damped Schur/Cholesky solve on cached pieces
-        pieces = asm(states, datas)
+        pieces = jax.block_until_ready(asm(states, datas))
         lam = jnp.full((B,), 1e-4, dtype)
 
         def schur_once(H_pp, H_pd, h_dd, b_p, b_d, lam):
             return _damped_solve_schur(H_pp, H_pd, h_dd, b_p, b_d, lam, opts)
 
         sch = jax.jit(jax.vmap(schur_once))
-        t_sch = timed(lambda *p: sch(*p), "schur_cholesky_x1",
+        sch_s = jax.jit(lambda *p: jnp.sum(sch(*p)))
+        t_sch = timed(sch_s, "schur_cholesky_x1",
                       pieces[0], pieces[1], pieces[2], pieces[3], pieces[4],
                       lam)
 
         # stage 3: retract
         dx = sch(pieces[0], pieces[1], pieces[2], pieces[3], pieces[4], lam)
-        ret = jax.jit(jax.vmap(fac.retract))
-        t_ret = timed(lambda s, d: ret(s, d), "retract_x1", states, dx)
+        ret_s = jax.jit(lambda s, d: scalar_of(jax.vmap(fac.retract)(s, d)))
+        t_ret = timed(ret_s, "retract_x1", states, dx)
 
-        # 12-iteration extrapolation vs measured full solve = loop overhead
-        per_iter = t_asm + t_sch + t_ret
-        overhead = t_full - 12 * per_iter
+        # 12-iteration extrapolation vs measured full solve = loop
+        # overhead. Each standalone stage pays one relay roundtrip the
+        # fused solve pays once — subtract t_null per stage.
+        per_iter = (t_asm - t_null) + (t_sch - t_null) + (t_ret - t_null)
+        overhead = (t_full - t_null) - 12 * per_iter
 
     result = dict(
         platform=jax.devices()[0].platform, dtype=str(dtype.__name__),
         batch=B, reps=args.reps,
+        null_roundtrip_ms=round(t_null, 2),
         full_solve_ms=round(t_full, 2),
         per_window_us=round(t_full / B * 1000, 1),
-        assembly_ms_per_iter=round(t_asm, 2),
-        schur_cholesky_ms_per_iter=round(t_sch, 2),
-        retract_ms_per_iter=round(t_ret, 2),
+        assembly_ms_per_iter=round(t_asm - t_null, 2),
+        schur_cholesky_ms_per_iter=round(t_sch - t_null, 2),
+        retract_ms_per_iter=round(t_ret - t_null, 2),
         extrapolated_12it_ms=round(12 * per_iter, 2),
         residual_overhead_ms=round(overhead, 2),
-        note="stage timings measured standalone at the same B; residual = "
-             "full - 12*(asm+schur+retract): while_loop bookkeeping, "
-             "cost-compare/select, dispatch",
+        note="stage device-times (null roundtrip subtracted), standalone at "
+             "the same B; residual = (full-null) - 12*(asm+schur+retract): "
+             "while_loop bookkeeping, cost-compare/select",
     )
     if args.trace:
         import jax.profiler
