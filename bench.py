@@ -85,8 +85,10 @@ def main():
         # math, the per-iteration dense solve runs as ONE Pallas kernel
         # with the batch on the lane axis (see solver.solve_window_batched)
         from cerberus_tpu.ops.solver import solve_window_batched
+        prec = os.environ.get("BENCH_GEMM_PRECISION", "highest")
         solve = jax.jit(
-            lambda s, d: solve_window_batched(s, d, opts)[0].p[:, 0, 0])
+            lambda s, d: solve_window_batched(
+                s, d, opts, gemm_precision=prec)[0].p[:, 0, 0])
     else:
         solve = jax.jit(jax.vmap(
             lambda s, d: solve_window(s, d, opts)[0].p[0, 0]))

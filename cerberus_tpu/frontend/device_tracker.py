@@ -58,7 +58,8 @@ class DeviceTracker:
     {id: (pt0 (3,), vel0 (2,), pt1 (3,)|None, vel1 (2,))}, normalized plane."""
 
     def __init__(self, cam0, cam1=None, max_cnt=120, min_dist=10,
-                 flow_back=True, levels=4, half=10, iters=10):
+                 flow_back=True, levels=4, half=10, iters=10,
+                 det_stereo=32):
         # levels=4 == OpenCV maxLevel=3 (four pyramid images). At 3 levels
         # the coarsest-level motion of a 15 Hz walking sequence (~4-5 px)
         # exceeds the attraction basin of small blob features: ~10% of
@@ -70,6 +71,7 @@ class DeviceTracker:
         self.max_cnt, self.min_dist = max_cnt, min_dist
         self.flow_back = flow_back
         self.levels, self.half, self.iters = levels, half, iters
+        self.det_stereo = min(det_stereo, max_cnt)
         self.next_id = 0
         # host mirrors of the N compacted live tracks (N <= max_cnt)
         self.ids = np.zeros((0,), np.int64)
@@ -148,7 +150,7 @@ class DeviceTracker:
                 jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(guess),
                 jnp.asarray(prio), levels=self.levels, half=self.half,
                 iters=self.iters, min_dist=self.min_dist,
-                fb_thresh=fb, stereo=stereo)
+                fb_thresh=fb, stereo=stereo, det_stereo=self.det_stereo)
             self.stats["dispatches"] += 1
             # ONE small blocking fetch; the new pyramid stays on device
             new_pts, keep, det_pts, det_ok, r_pts, r_ok = jax.device_get(
@@ -189,11 +191,18 @@ class DeviceTracker:
                     self.track_cnt = np.concatenate(
                         [self.track_cnt, np.zeros(len(dets), np.int64)])
                     if stereo:
-                        r_sel = np.nonzero(r_ok[N + didx])[0]
-                        if len(r_sel):
+                        # stereo rows exist only for the top det_stereo
+                        # detection candidates (klt.track_frame docstring);
+                        # adoption order matches top_k score order, so in
+                        # steady state every adopted detection has a row
+                        ok_j = np.nonzero(
+                            (didx < self.det_stereo)
+                            & r_ok[np.minimum(N + didx,
+                                              len(r_ok) - 1)])[0]
+                        if len(ok_j):
                             un_r = self.cam1.undistort_normalize(
-                                r_pts[N + didx][r_sel].astype(np.float32))
-                            for j, sl in enumerate(r_sel):
+                                r_pts[N + didx[ok_j]].astype(np.float32))
+                            for j, sl in enumerate(ok_j):
                                 right[int(new_ids[sl])] = un_r[j]
 
         un = (self.cam0.undistort_normalize(cur_pts) if len(cur_pts)

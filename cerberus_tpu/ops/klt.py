@@ -261,10 +261,10 @@ def _greedy_mask(pts, status, priority, min_dist, shape):
 
 
 @partial(jax.jit, static_argnames=("levels", "half", "iters", "min_dist",
-                                   "fb_thresh", "stereo"))
+                                   "fb_thresh", "stereo", "det_stereo"))
 def track_frame(prev_pyr, img0_u8, img1_u8, pts, valid, guess, priority,
                 levels=4, half=10, iters=10, min_dist=10, fb_thresh=0.5,
-                stereo=True):
+                stereo=True, det_stereo=32):
     """ONE jitted program for a full tracker frame: build the new pyramid,
     pyramidal LK prev->cur with forward-backward check, greedy min-distance
     suppression, Shi-Tomasi replenishment candidates, and (stereo) the
@@ -280,17 +280,20 @@ def track_frame(prev_pyr, img0_u8, img1_u8, pts, valid, guess, priority,
       pass the returned `pyr0`). Images enter as uint8 (4x cheaper on the
       host->device link than f32).
     Returns dict: pts (N,2), keep (N,), err (N,), det_pts (N,2), det_ok
-      (N,), r_pts (2N,2), r_ok (2N,), pyr0 (tuple, carry to next call).
-      The stereo pass covers BOTH the kept tracked points (rows [0:N]) and
-      the replenishment candidates (rows [N:2N], aligned with det_pts), so
-      a newly detected feature gets its right-camera observation in the
-      SAME frame — the reference matches stereo after replenishment
+      (N,), r_pts (N+det_stereo,2), r_ok (N+det_stereo,), pyr0 (tuple,
+      carry to next call). The stereo pass covers BOTH the kept tracked
+      points (rows [0:N]) and the top-`det_stereo` replenishment
+      candidates (rows [N:N+det_stereo], aligned with det_pts[:det_stereo]
+      — top_k orders detections by score, the same order the host adopts
+      them), so a newly detected feature gets its right-camera observation
+      in the SAME frame — the reference matches stereo after replenishment
       (trackImage runs the left->right LK on cur_pts, which already
       includes the new detections, feature_tracker.cpp:202-245), and the
       estimator stereo-triangulates a feature's depth from its first
       observation. The r4 fused kernel ran stereo on tracked points only,
-      delaying depth init one frame per feature (measured: 0.27 vs 0.20 %
-      end-to-end drift on the 300 s street sequence).
+      delaying depth init one frame per feature. det_stereo bounds the
+      extra stereo-LK cost: steady-state replenishment is ~5-20
+      points/frame, and a full 2N stereo set measured +38 ms/frame.
     """
     img0 = img0_u8.astype(jnp.float32)
     pyr0 = tuple(build_pyramid(img0, levels))
@@ -299,8 +302,9 @@ def track_frame(prev_pyr, img0_u8, img1_u8, pts, valid, guess, priority,
     keep, occ = _greedy_mask(fwd.pts, fwd.status, priority, min_dist,
                              img0.shape)
     det_pts, det_ok = _detect_with_occ(pyr0[0], occ, pts.shape[0], min_dist)
-    s_pts = jnp.concatenate([fwd.pts, det_pts], axis=0)
-    s_val = jnp.concatenate([keep, det_ok], axis=0)
+    ds = min(det_stereo, pts.shape[0])
+    s_pts = jnp.concatenate([fwd.pts, det_pts[:ds]], axis=0)
+    s_val = jnp.concatenate([keep, det_ok[:ds]], axis=0)
     if stereo:
         img1 = img1_u8.astype(jnp.float32)
         pyr1 = tuple(build_pyramid(img1, levels))

@@ -230,7 +230,8 @@ def _solve_window_impl(state: fac.WindowState, data: fac.WindowData,
 
 def solve_window_batched(states: fac.WindowState, datas: fac.WindowData,
                          opts: SolveOptions = SolveOptions(),
-                         lane_chol: bool | None = None):
+                         lane_chol: bool | None = None,
+                         gemm_precision: str = "highest"):
     """Batched LM over B windows with the linear solve LANE-BATCHED.
 
     `jax.vmap(solve_window)` hides the batch from the per-iteration
@@ -251,7 +252,12 @@ def solve_window_batched(states: fac.WindowState, datas: fac.WindowData,
 
     lane_chol: force the Pallas path on/off; None = on when a TPU is
     present (interpret-mode Pallas on CPU is correct but slow, so CPU
-    defaults to the XLA solve in the same batched structure)."""
+    defaults to the XLA solve in the same batched structure).
+    gemm_precision: matmul precision for the assembly/solve GEMMs.
+    'highest' (default) = 6-pass bf16 emulation of f32 — what the
+    streaming solver uses; 'high' = 3 passes, ~2x GEMM throughput at
+    ~1e-6 relative noise (throughput-product experiment; check
+    convergence costs before trusting results at 'high')."""
     assert opts.structured and opts.schur and opts.project_gauge
     if lane_chol is None:
         lane_chol = jax.devices()[0].platform != "cpu"
@@ -263,7 +269,7 @@ def solve_window_batched(states: fac.WindowState, datas: fac.WindowData,
     F = datas.f_valid.shape[1]
     dtype = states.p.dtype
 
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision(gemm_precision):
         def assemble_one(st, d):
             H_pp, H_pd, h_dd, b_p, b_d, r0 = \
                 build_normal_equations_blocks(st, d)

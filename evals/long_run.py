@@ -46,6 +46,10 @@ def main():
                     help="front-end for --images: OpenCV or on-device KLT")
     ap.add_argument("--no-predict", action="store_true",
                     help="disable feature prediction seeding")
+    ap.add_argument("--no-pipeline-frontend", action="store_true",
+                    help="render+track serially with the estimator (A/B of "
+                         "the pipelined front-end's one-frame prediction "
+                         "lag; slower wall-clock)")
     ap.add_argument("--loop-kf-dist", type=float, default=0.25,
                     help="pose-graph keyframe spacing (m); raise for runs "
                          "long enough to saturate the 2048-node pool")
@@ -153,7 +157,8 @@ def main():
         t0 = time.time()
         out = replay_images(sim, est=est, tracker=tracker, renderer=renderer,
                             csv_path=args.csv,
-                            use_prediction=not args.no_predict)
+                            use_prediction=not args.no_predict,
+                            pipeline_frontend=not args.no_pipeline_frontend)
     else:
         t0 = time.time()
         out = replay(sim, est=est, csv_path=args.csv)
