@@ -142,7 +142,10 @@ def replay_images(sim: dict, cfg=None, est: Estimator | None = None,
     if use_prediction:
         # estimator cam-frame predictions -> pixel seeds for the next track
         # (reference: predictPtsInNextFrame -> setPrediction,
-        # estimator.cpp:1694-1739 + feature_tracker.cpp:501-518)
+        # estimator.cpp:1694-1739 + feature_tracker.cpp:501-518). With the
+        # pipelined front-end the seed is consumed one frame later, so
+        # predict TWO inter-frame motions ahead (see _predict_next_frame).
+        est.predict_steps = 2 if pipeline_frontend else 1
         f, cx, cy = renderer.f, renderer.cx, renderer.cy
 
         def _seed(pred_cam: dict):

@@ -998,17 +998,30 @@ class Estimator:
     def _predict_next_frame(self):
         """Constant-velocity prediction of tracked features in the next
         image (reference: predictPtsInNextFrame, estimator.cpp:1694-1727):
-        nextT = curT * (prevT^-1 * curT); features with depth observed in the
-        newest frame are projected into the predicted left camera. Result
-        {feature_id: pts_cam (3,)} is stored on self.predicted_pts and passed
-        to self.predict_callback (the replay loop forwards it to
-        tracker.set_prediction, reference feature_tracker.cpp:501-518)."""
+        nextT = curT * (prevT^-1 * curT)^steps; features with depth observed
+        in the newest frame are projected into the predicted left camera.
+        Result {feature_id: pts_cam (3,)} is stored on self.predicted_pts
+        and passed to self.predict_callback (the replay loop forwards it to
+        tracker.set_prediction, reference feature_tracker.cpp:501-518).
+
+        self.predict_steps (default 1) extrapolates further: a PIPELINED
+        front-end consumes this prediction one frame later than a serial
+        one (frame k's solve seeds the track of frame k+2, not k+1), so
+        the replay sets predict_steps=2 there — otherwise every seed is
+        one inter-frame motion (~3-5 px at walking speed) stale, which
+        measurably degrades LK track survival (r4->r5 A/B: both
+        front-ends lost ~0.04 pp drift to the lag)."""
         self.predicted_pts = {}
         i, j = C.WINDOW_SIZE - 1, C.WINDOW_SIZE
         R_prev, R_cur = _quat_to_rot_np(self.q[i]), _quat_to_rot_np(self.q[j])
         p_prev, p_cur = self.p[i], self.p[j]
-        R_next = R_cur @ (R_prev.T @ R_cur)
-        p_next = p_cur + R_cur @ (R_prev.T @ (p_cur - p_prev))
+        R_d = R_prev.T @ R_cur
+        p_d = R_prev.T @ (p_cur - p_prev)
+        R_dn, p_dn = R_d, p_d
+        for _ in range(int(getattr(self, "predict_steps", 1)) - 1):
+            R_dn, p_dn = R_dn @ R_d, R_dn @ p_d + p_dn
+        R_next = R_cur @ R_dn
+        p_next = p_cur + R_cur @ p_dn
         ric = _quat_to_rot_np(self.qic[0])
         fm = self.fm
         for s in np.nonzero(fm.active & (fm.depth > 0) & fm.obs[:, j])[0]:
