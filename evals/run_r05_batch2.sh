@@ -7,7 +7,11 @@ set -x
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
 OUT=LONGRUN_RESULTS.json
-while pgrep -f "evals/long_run.py|evals/robustness.py" >/dev/null; do sleep 30; done
+# wait for batch 1's completion marker (a process-liveness check can fire
+# in the gap between batch-1 stages)
+while ! grep -q DONE_R05_BATCH1 evals/r05_batch1.log 2>/dev/null; do
+  sleep 30
+done
 
 # tracker A/B with the r5b front-end fixes
 timeout 5400 python evals/long_run.py --duration 300 --path street \
@@ -40,6 +44,12 @@ with open("BENCH_EXPERIMENTS.json", "w") as f:
     json.dump(out, f, indent=1)
 print(json.dumps(out, indent=1))
 EOF
+
+# 470 s loop rerun on final code (the batch-1 470 s run started seconds
+# before the 2-step-prediction commit landed)
+timeout 5400 python evals/long_run.py --duration 470 --path street \
+  --speed 0.75 --images --tracker cv --loop --platform tpu --prerender \
+  --out $OUT --tag street_470s_img_loop_r5b
 
 # feature-mode headline refresh on final code
 timeout 5400 python evals/long_run.py --duration 450 --path street \
