@@ -37,7 +37,7 @@ class LoopCloser:
                  min_kf_yaw: float = 0.2, seq_window: int = 5,
                  seq_radius: int = 8, strong_sim: float = 0.90,
                  seq_weight: float = 100.0, loop_weight: float = 10.0,
-                 robust_kind: str = "cauchy"):
+                 robust_kind: str = "cauchy", record: bool = False):
         # min_sim gates only the PROPOSAL; every candidate still has to
         # survive mutual-best ZNCC patch matching and RANSAC PnP before an
         # edge is added, so a permissive default is safe (0.85 found zero
@@ -94,6 +94,16 @@ class LoopCloser:
         self.seq_radius = seq_radius
         self.strong_sim = strong_sim
         self._recent_cands: list[tuple[int, int]] = []  # (db_idx, old_idx)
+        # record=True keeps every ingested keyframe record (descriptors
+        # included) on self.records for offline loop-back-end replay
+        self.record = record
+        self.records: list[dict] = []
+
+    def dump_records(self, path: str):
+        """Persist the recorded keyframe stream for evals/loop_replay.py."""
+        import pickle
+        with open(path, "wb") as f:
+            pickle.dump(self.records, f)
 
     # ------------------------------------------------------------------
     def add_keyframe(self, t, p, q, ids, obs: dict, img: np.ndarray | None):
@@ -107,12 +117,7 @@ class LoopCloser:
                 abs(_wrap(yaw - self._last_yaw)) < self.min_kf_yaw:
             self.kf_skipped += 1
             return -2
-        node = self.pg.add_keyframe(p, yaw, ids)
-        if node < 0:
-            self.kf_skipped += 1
-            return node
-        self._last_p, self._last_yaw = p, yaw
-        rec = dict(t=t, node=node, p_odo=p.copy(),
+        rec = dict(t=t, p_odo=p.copy(), yaw=yaw,
                    ids=np.asarray(sorted(obs), dtype=np.int64))
         fids = rec["ids"]
         uv = np.array([obs[i][0] for i in fids]) if len(fids) else \
@@ -126,7 +131,33 @@ class LoopCloser:
             px = np.column_stack([self.f * uv[:, 0] + self.cx,
                                   self.f * uv[:, 1] + self.cy])
             rec["descs"], rec["ok"] = desc.extract_patches(img, px)
-            g = desc.tiny_image(img)
+            rec["g"] = desc.tiny_image(img)
+        else:
+            rec["descs"] = np.zeros((len(fids), desc.PATCH_DIM), np.float32)
+            rec["ok"] = np.zeros(len(fids), bool)
+            rec["g"] = None
+        if self.record:
+            import copy
+            self.records.append(copy.deepcopy(rec))
+        return self.add_keyframe_precomputed(rec)
+
+    def add_keyframe_precomputed(self, rec: dict) -> int:
+        """Ingest a keyframe whose descriptors are already computed
+        (offline replay of a recorded keyframe stream — evals/loop_replay.py
+        re-runs the loop back-end under different gating/weighting without
+        re-running the estimator). rec: t, p_odo, yaw, ids, uv, world,
+        descs, ok, g (tiny-image vector or None)."""
+        rec = dict(rec)
+        node = self.pg.add_keyframe(rec["p_odo"], rec["yaw"],
+                                    [int(i) for i in rec["ids"]])
+        if node < 0:
+            self.kf_skipped += 1
+            return node
+        self._last_p = np.asarray(rec["p_odo"], float)
+        self._last_yaw = float(rec["yaw"])
+        rec["node"] = node
+        g = rec.get("g")
+        if g is not None:
             cand = self.index.query(g, self.exclude_last, min_sim=0.0)
             self.index.add(g)
             if cand is not None:
@@ -148,8 +179,6 @@ class LoopCloser:
                         self.seq_gated += 1
         else:
             self.index.add(np.zeros(desc.TINY_H * desc.TINY_W, np.float32))
-            rec["descs"] = np.zeros((len(fids), desc.PATCH_DIM), np.float32)
-            rec["ok"] = np.zeros(len(fids), bool)
         self.db.append(rec)
         self._since_opt += 1
         # only optimize once a loop edge exists: the sequential chain alone
@@ -211,9 +240,14 @@ class LoopCloser:
         yaw_meas = float(np.arctan2(R_body[1, 0], R_body[0, 0]))
         i = old["node"]
         j = rec["node"]
-        Ri = _np_rot_z(self.pg.yaw[i])
-        rel_p = Ri.T @ (p_body - self.pg.p[i])
-        rel_yaw = yaw_meas - self.pg.yaw[i]
+        # the PnP pose lives in the ODOMETRIC world frame (the old
+        # keyframe's 3D points were triangulated there), so the relative
+        # measurement must be taken against node i's odometric pose — using
+        # the optimized pg.p[i]/yaw[i] mixes frames once any correction has
+        # moved node i
+        Ri = _np_rot_z(self.pg.yaw_odo[i])
+        rel_p = Ri.T @ (p_body - self.pg.p_odo[i])
+        rel_yaw = yaw_meas - self.pg.yaw_odo[i]
         self.pg.add_loop_edge(i, j, rel_p=rel_p, rel_yaw=rel_yaw,
                               weight=self.loop_weight)
         self.loops_found += 1

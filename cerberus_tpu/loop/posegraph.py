@@ -132,6 +132,14 @@ class PoseGraph:
         self.n = 0
         self.p = np.zeros((capacity_nodes, 3))
         self.yaw = np.zeros(capacity_nodes)
+        # raw odometric inputs per node: edge MEASUREMENTS must always come
+        # from the odometric stream — after an optimize has moved nodes,
+        # a sequential edge computed from self.p[k-1] (corrected) to the
+        # incoming p (odometric) encodes the correction as fake motion,
+        # and every later optimize fights it (measured: 52-loop 470 s run
+        # had corrected ATE 0.53 vs 0.32 odometric before this fix)
+        self.p_odo = np.zeros((capacity_nodes, 3))
+        self.yaw_odo = np.zeros(capacity_nodes)
         self.feat_ids: list[set] = []
         self.edges = []   # (i, j, rel_p, rel_yaw, weight)
         self.n_loop_edges = 0   # edges beyond the sequential chain
@@ -161,11 +169,17 @@ class PoseGraph:
         new = min(2 * self.Nc, self.max_nodes)
         if new <= self.Nc:
             return False
-        p = np.zeros((new, 3))
-        p[: self.Nc] = self.p
-        yaw = np.zeros(new)
-        yaw[: self.Nc] = self.yaw
-        self.p, self.yaw, self.Nc = p, yaw, new
+
+        def grow(a, shape):
+            b = np.zeros(shape)
+            b[: self.Nc] = a
+            return b
+
+        self.p = grow(self.p, (new, 3))
+        self.yaw = grow(self.yaw, (new,))
+        self.p_odo = grow(self.p_odo, (new, 3))
+        self.yaw_odo = grow(self.yaw_odo, (new,))
+        self.Nc = new
         return True
 
     def add_keyframe(self, p, yaw, feature_ids=None) -> int:
@@ -174,13 +188,20 @@ class PoseGraph:
         if self.n >= self.Nc and not self._grow():
             return -1
         k = self.n
-        self.p[k] = p
-        self.yaw[k] = yaw
+        self.p_odo[k] = p
+        self.yaw_odo[k] = yaw
         self.feat_ids.append(set(feature_ids or ()))
         if k > 0:
-            Ri = _np_rot_z(self.yaw[k - 1])
-            rel_p = Ri.T @ (self.p[k] - self.p[k - 1])
-            rel_yaw = self.yaw[k] - self.yaw[k - 1]
+            # sequential edge from the ODOMETRIC deltas; the new node's
+            # initial state composes that delta onto the (possibly
+            # corrected) previous node so it enters consistent with the
+            # current graph instead of snapping back to the odometric frame
+            Ri = _np_rot_z(self.yaw_odo[k - 1])
+            rel_p = Ri.T @ (self.p_odo[k] - self.p_odo[k - 1])
+            rel_yaw = self.yaw_odo[k] - self.yaw_odo[k - 1]
+            Rc = _np_rot_z(self.yaw[k - 1])
+            self.p[k] = self.p[k - 1] + Rc @ rel_p
+            self.yaw[k] = self.yaw[k - 1] + rel_yaw
             # sqrt-information of the odometric chain: the VILO odometry
             # drifts ~0.1-0.2% of distance, i.e. ~10 mm-scale relative
             # error between keyframes 0.25 m apart -> weight ~100. Loop
@@ -193,6 +214,9 @@ class PoseGraph:
             # with seq=10/loop=20 the corrected 3-lap trajectory was WORSE
             # than odometric, 0.197% vs 0.145%).
             self.edges.append((k - 1, k, rel_p, rel_yaw, self.seq_weight))
+        else:
+            self.p[k] = p
+            self.yaw[k] = yaw
         self.n += 1
         # loop detection by feature overlap (opt-in, see __init__)
         if self.auto_detect:
@@ -338,6 +362,7 @@ def save_pose_graph(pg: PoseGraph, path: str):
     rel_yaw = np.array([e[3] for e in pg.edges])
     e_w = np.array([e[4] for e in pg.edges])
     np.savez(path, n=pg.n, p=pg.p[: pg.n], yaw=pg.yaw[: pg.n],
+             p_odo=pg.p_odo[: pg.n], yaw_odo=pg.yaw_odo[: pg.n],
              e_i=e_i, e_j=e_j, rel_p=rel_p, rel_yaw=rel_yaw, e_w=e_w,
              n_loop_edges=pg.n_loop_edges)
 
@@ -352,6 +377,8 @@ def load_pose_graph(path: str, **kwargs) -> PoseGraph:
     pg.n = n
     pg.p[:n] = z["p"]
     pg.yaw[:n] = z["yaw"]
+    pg.p_odo[:n] = z["p_odo"] if "p_odo" in z else z["p"]
+    pg.yaw_odo[:n] = z["yaw_odo"] if "yaw_odo" in z else z["yaw"]
     pg.feat_ids = [set() for _ in range(n)]
     pg.edges = [(int(i), int(j), rp, float(ry), float(w))
                 for i, j, rp, ry, w in zip(z["e_i"], z["e_j"], z["rel_p"],

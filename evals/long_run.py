@@ -55,6 +55,9 @@ def main():
                          "long enough to saturate the 2048-node pool")
     ap.add_argument("--loop", action="store_true",
                     help="run loop closure and report corrected drift")
+    ap.add_argument("--loop-record", default=None,
+                    help="pickle the keyframe record stream for offline "
+                         "loop-back-end replay (evals/loop_replay.py)")
     ap.add_argument("--prerender", action="store_true",
                     help="render all frames BEFORE the timed replay "
                          "(camera frames on a real robot cost the VILO "
@@ -109,7 +112,8 @@ def main():
     images_for_loop = {}
     if args.loop:
         from cerberus_tpu.loop.closer import LoopCloser
-        closer = LoopCloser(cfg, min_kf_dist=args.loop_kf_dist)
+        closer = LoopCloser(cfg, min_kf_dist=args.loop_kf_dist,
+                            record=args.loop_record is not None)
 
         def on_keyframe(t, p, q, ids, obs):
             img = images_for_loop.pop(round(float(t), 6), None)
@@ -191,6 +195,8 @@ def main():
             result["prerendered"] = True
             result["prerender_s"] = round(prerender_s, 1)
     if closer is not None:
+        if args.loop_record:
+            closer.dump_records(args.loop_record)
         closer.finish()
         kf_t = closer.times()
         kf_p = closer.corrected()

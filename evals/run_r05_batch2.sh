@@ -49,6 +49,7 @@ EOF
 # before the 2-step-prediction commit landed)
 timeout 5400 python evals/long_run.py --duration 470 --path street \
   --speed 0.75 --images --tracker cv --loop --platform tpu --prerender \
+  --loop-record /root/repo/evals/loop_records_470s.pkl \
   --out $OUT --tag street_470s_img_loop_r5b
 
 # feature-mode headline refresh on final code
