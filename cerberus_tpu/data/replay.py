@@ -9,6 +9,8 @@ headline Cerberus metric (README.md:4, <1 % drift).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from cerberus_tpu.config import EstimatorConfig
@@ -142,10 +144,16 @@ def replay_images(sim: dict, cfg=None, est: Estimator | None = None,
     if use_prediction:
         # estimator cam-frame predictions -> pixel seeds for the next track
         # (reference: predictPtsInNextFrame -> setPrediction,
-        # estimator.cpp:1694-1739 + feature_tracker.cpp:501-518). With the
-        # pipelined front-end the seed is consumed one frame later, so
-        # predict TWO inter-frame motions ahead (see _predict_next_frame).
-        est.predict_steps = 2 if pipeline_frontend else 1
+        # estimator.cpp:1694-1739 + feature_tracker.cpp:501-518). The
+        # pipelined front-end consumes the seed one frame late; extrapolating
+        # a SECOND constant-velocity step to compensate was measured HARMFUL
+        # (gait oscillation at ~2 Hz makes the extrapolation overshoot, and
+        # the device LK has no retry-without-seed fallback like
+        # feature_tracker.cpp:112-133): 120 s street A/B, device 0.86 % with
+        # 2-step vs 0.27 % with 1-step; cv indifferent (0.46 vs 0.44) —
+        # evals/diag_tracker_r5.json. Default stays 1; CERB_PREDICT_STEPS
+        # overrides for experiments.
+        est.predict_steps = int(os.environ.get("CERB_PREDICT_STEPS", "1"))
         f, cx, cy = renderer.f, renderer.cx, renderer.cy
 
         def _seed(pred_cam: dict):

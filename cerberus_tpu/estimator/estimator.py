@@ -1004,13 +1004,15 @@ class Estimator:
         and passed to self.predict_callback (the replay loop forwards it to
         tracker.set_prediction, reference feature_tracker.cpp:501-518).
 
-        self.predict_steps (default 1) extrapolates further: a PIPELINED
+        self.predict_steps (default 1) extrapolates further. A PIPELINED
         front-end consumes this prediction one frame later than a serial
-        one (frame k's solve seeds the track of frame k+2, not k+1), so
-        the replay sets predict_steps=2 there — otherwise every seed is
-        one inter-frame motion (~3-5 px at walking speed) stale, which
-        measurably degrades LK track survival (r4->r5 A/B: both
-        front-ends lost ~0.04 pp drift to the lag)."""
+        one (frame k's solve seeds the track of frame k+2, not k+1); a
+        2-step extrapolation was tried to compensate and measured HARMFUL
+        on the device tracker (0.86 % vs 0.27 % drift on the 120 s street
+        A/B — gait oscillation defeats constant-velocity extrapolation and
+        the device LK has no retry-without-seed fallback) and neutral on
+        the cv tracker (evals/diag_tracker_r5.json), so 1 stays the
+        default everywhere."""
         self.predicted_pts = {}
         i, j = C.WINDOW_SIZE - 1, C.WINDOW_SIZE
         R_prev, R_cur = _quat_to_rot_np(self.q[i]), _quat_to_rot_np(self.q[j])

@@ -141,7 +141,9 @@ def main():
                     for _ in range(2)]
             tracker = DeviceTracker(cams[0], cams[1], max_cnt=cfg.max_cnt,
                                     min_dist=cfg.min_dist,
-                                    flow_back=cfg.flow_back)
+                                    flow_back=cfg.flow_back,
+                                    det_stereo=int(os.environ.get(
+                                        "CERB_DET_STEREO", "32")))
         if args.loop:
             # retain rendered keyframe images for the loop front-end
             class _LoopRenderer:
