@@ -79,7 +79,11 @@ def main():
     opts = SolveOptions(max_iters=12)
     # return a scalar so timing includes a forced value fetch: on relayed/async
     # backends block_until_ready alone does NOT guarantee execution finished
-    lane = os.environ.get("BENCH_LANE_CHOL", "1" if on_tpu else "0") == "1"
+    # lane path is opt-in: the fused lane-Cholesky kernel cannot compile
+    # inside the LM while_loop on v5e (the aliased operand lands on the
+    # 16 MB scoped-VMEM stack) and loses standalone anyway — measured in
+    # BENCH_EXPERIMENTS.json. XLA's batched chol/cho_solve is the default.
+    lane = os.environ.get("BENCH_LANE_CHOL", "0") == "1"
     if lane:
         # lane-batched Schur/Cholesky path (ops/lane_cholesky): same LM
         # math, the per-iteration dense solve runs as ONE Pallas kernel

@@ -42,14 +42,14 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
-def _kernel(A_ref, b_ref, A_out, x_ref, y_ref, *, n_pad: int):
+def _kernel(W_ref, b_ref, A_out, x_ref, y_ref, *, n_pad: int):
     """Factor + forward + backward substitution for LANES systems.
 
-    A_ref/A_out: (n_pad, n_pad, LANES) aliased — SPD in, L (lower) and L^T
-    (upper mirror) out. b_ref: (1, n_pad, LANES). x_ref: (1, n_pad, LANES).
-    y_ref: VMEM scratch (1, n_pad, LANES).
+    W_ref/A_out: (n_pad, n_pad, LANES) aliased — SPD in, L (lower) and L^T
+    (upper mirror) out, factored in place. b_ref: (1, n_pad, LANES).
+    x_ref: (1, n_pad, LANES). y_ref: VMEM scratch (1, n_pad, LANES).
     """
-    dtype = A_ref.dtype
+    dtype = W_ref.dtype
     nblk = n_pad // SLAB
 
     # ---- Cholesky, symmetric-preserving right-looking ----
@@ -61,26 +61,31 @@ def _kernel(A_ref, b_ref, A_out, x_ref, y_ref, *, n_pad: int):
 
         def col(jj, _, s0=s0, m=m, rows_m=rows_m, cols_m=cols_m):
             j = s0 + jj
-            d = jnp.sqrt(A_ref[pl.ds(j, 1), pl.ds(j, 1), :])      # (1,1,L)
-            old_col = A_ref[pl.ds(s0, m), pl.ds(j, 1), :]         # (m,1,L)
-            old_row = A_ref[pl.ds(j, 1), pl.ds(s0, m), :]         # (1,m,L)
+            d = jnp.sqrt(W_ref[pl.ds(j, 1), pl.ds(j, 1), :])      # (1,1,L)
+            old_col = W_ref[pl.ds(s0, m), pl.ds(j, 1), :]         # (m,1,L)
+            old_row = W_ref[pl.ds(j, 1), pl.ds(s0, m), :]         # (1,m,L)
             col_strict = jnp.where(rows_m > jj, old_col / d, 0.0)
             row_strict = jnp.where(cols_m > jj, old_row / d, 0.0)
             # scale only BELOW (column) / RIGHT OF (row) the diagonal; the
             # parts before the diagonal hold finished L / L^T entries from
             # earlier columns and must be preserved
-            A_ref[pl.ds(s0, m), pl.ds(j, 1), :] = \
+            W_ref[pl.ds(s0, m), pl.ds(j, 1), :] = \
                 col_strict + jnp.where(rows_m == jj, d, 0.0) \
                 + jnp.where(rows_m < jj, old_col, 0.0)
-            A_ref[pl.ds(j, 1), pl.ds(s0, m), :] = \
+            W_ref[pl.ds(j, 1), pl.ds(s0, m), :] = \
                 row_strict + jnp.where(cols_m == jj, d, 0.0) \
                 + jnp.where(cols_m < jj, old_row, 0.0)
             # rank-1 trailing update on the slab-trailing block; the strict
             # masking of column/row makes the product zero outside
-            # (rows > jj) x (cols > jj), so no extra (m, m) mask is needed
-            blk = A_ref[pl.ds(s0, m), pl.ds(s0, m), :]
-            A_ref[pl.ds(s0, m), pl.ds(s0, m), :] = \
-                blk - col_strict * row_strict
+            # (rows > jj) x (cols > jj), so no extra (m, m) mask is needed.
+            # Chunked over static row-slabs: a whole-block update would
+            # materialize (m, m, LANES) temporaries (~13 MB at m=224,
+            # LANES=64) and blow the ~16 MB scoped-VMEM stack; chunks bound
+            # live temporaries to (SLAB, m, LANES) ~ 1.8 MB.
+            for r0 in range(0, m, SLAB):
+                blk = W_ref[pl.ds(s0 + r0, SLAB), pl.ds(s0, m), :]
+                W_ref[pl.ds(s0 + r0, SLAB), pl.ds(s0, m), :] = \
+                    blk - col_strict[r0:r0 + SLAB] * row_strict
             return 0
 
         jax.lax.fori_loop(0, SLAB, col, 0)
@@ -90,9 +95,9 @@ def _kernel(A_ref, b_ref, A_out, x_ref, y_ref, *, n_pad: int):
     y_ref[...] = jnp.zeros((1, n_pad, LANES), dtype)
 
     def fwd(j, _):
-        rowj = jnp.where(cols_n < j, A_ref[pl.ds(j, 1), :, :], 0.0)
+        rowj = jnp.where(cols_n < j, W_ref[pl.ds(j, 1), :, :], 0.0)
         s = jnp.sum(rowj * y_ref[...], axis=1, keepdims=True)     # (1,1,L)
-        d = A_ref[pl.ds(j, 1), pl.ds(j, 1), :]
+        d = W_ref[pl.ds(j, 1), pl.ds(j, 1), :]
         y_ref[0:1, pl.ds(j, 1), :] = \
             (b_ref[0:1, pl.ds(j, 1), :] - s) / d
         return 0
@@ -104,9 +109,9 @@ def _kernel(A_ref, b_ref, A_out, x_ref, y_ref, *, n_pad: int):
 
     def bwd(k, _):
         j = n_pad - 1 - k
-        rowj = jnp.where(cols_n > j, A_ref[pl.ds(j, 1), :, :], 0.0)
+        rowj = jnp.where(cols_n > j, W_ref[pl.ds(j, 1), :, :], 0.0)
         s = jnp.sum(rowj * x_ref[...], axis=1, keepdims=True)
-        d = A_ref[pl.ds(j, 1), pl.ds(j, 1), :]
+        d = W_ref[pl.ds(j, 1), pl.ds(j, 1), :]
         x_ref[0:1, pl.ds(j, 1), :] = \
             (y_ref[0:1, pl.ds(j, 1), :] - s) / d
         return 0
@@ -130,36 +135,47 @@ def lane_cholesky_solve(A, b, interpret: bool = False):
         pad_eye = jnp.zeros((n_pad,), dtype).at[n:].set(1.0)
         A = A + jnp.eye(n_pad, dtype=dtype) * pad_eye[None, :]
         b = jnp.pad(b, ((0, 0), (0, n_pad - n)))
-    # lanes-last layout: (B, n, n) -> (n, n, B) ; (B, n) -> (1, n, B)
-    At = jnp.transpose(A, (1, 2, 0))
-    bt = jnp.transpose(b, (1, 0))[None]
+    # lanes-last layout with the lane groups as a LEADING grid axis:
+    # (B, n, n) -> (G, n, n, LANES). Mosaic requires a block's last two dims
+    # to be (8, 128)-divisible OR equal to the array dims; a (n, n, LANES)
+    # block over a (n, n, B) array fails that when LANES < B, so the group
+    # axis moves into the array shape and the BlockSpec squeezes it (None),
+    # leaving the kernel's 3-D view unchanged.
+    G = Bb // LANES
+    At = jnp.transpose(
+        jnp.transpose(A, (1, 2, 0)).reshape(n_pad, n_pad, G, LANES),
+        (2, 0, 1, 3))
+    bt = jnp.transpose(b, (1, 0)).reshape(n_pad, G, LANES)
+    bt = jnp.transpose(bt, (1, 0, 2))[:, None]          # (G, 1, n_pad, L)
 
-    grid = (Bb // LANES,)
+    grid = (G,)
     kernel = partial(_kernel, n_pad=n_pad)
     A_out, x = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n_pad, n_pad, LANES), lambda i: (0, 0, i),
+            pl.BlockSpec((None, n_pad, n_pad, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, LANES), lambda i: (0, 0, i),
+            pl.BlockSpec((None, 1, n_pad, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((n_pad, n_pad, LANES), lambda i: (0, 0, i),
+            pl.BlockSpec((None, n_pad, n_pad, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, LANES), lambda i: (0, 0, i),
+            pl.BlockSpec((None, 1, n_pad, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, n_pad, Bb), dtype),
-            jax.ShapeDtypeStruct((1, n_pad, Bb), dtype),
+            jax.ShapeDtypeStruct((G, n_pad, n_pad, LANES), dtype),
+            jax.ShapeDtypeStruct((G, 1, n_pad, LANES), dtype),
         ],
         scratch_shapes=[pltpu.VMEM((1, n_pad, LANES), dtype)],
         input_output_aliases={0: 0},
         interpret=interpret,
     )(At, bt)
-    return jnp.transpose(x[0, :n, :], (1, 0))
+    # (G, 1, n_pad, L) -> (B, n)
+    xt = jnp.transpose(x[:, 0], (1, 0, 2)).reshape(n_pad, Bb)
+    return jnp.transpose(xt[:n], (1, 0))
 
 
 def lane_cholesky_solve_ref(A, b):
